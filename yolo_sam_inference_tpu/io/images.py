@@ -1,0 +1,93 @@
+"""Generic image load/save + directory discovery.
+
+Replaces the reference's ``cv2.imread`` loader (reference ``pipeline.py:206-210``)
+and its glob logic (``pipeline.py:265-269``). Loading returns RGB uint8
+(H, W, 3) regardless of source format, matching the reference's BGR->RGB
+conversion contract.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .tiff import read_tiff, write_tiff
+
+try:  # PIL is available in this environment; keep it soft anyway.
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover
+    _PILImage = None
+
+IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".tiff", ".tif")
+
+
+def _to_rgb_uint8(arr: np.ndarray) -> np.ndarray:
+    """Normalize any decoded array to RGB uint8 (H, W, 3)."""
+    if arr.dtype == np.uint16:
+        arr = (arr / 257.0).astype(np.uint8)  # 65535 -> 255
+    elif arr.dtype == np.bool_:
+        arr = arr.astype(np.uint8) * 255
+    elif arr.dtype != np.uint8:
+        amax = float(arr.max()) if arr.size else 1.0
+        scale = 255.0 / amax if amax > 0 else 1.0
+        arr = np.clip(arr * scale, 0, 255).astype(np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[..., None], 3, axis=2)
+    elif arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif arr.shape[2] == 4:
+        arr = arr[..., :3]
+    return np.ascontiguousarray(arr)
+
+
+def load_image(path, grayscale: bool = False) -> np.ndarray:
+    """Load an image file as RGB uint8 (or grayscale uint8 if requested)."""
+    path = Path(path)
+    arr: Optional[np.ndarray] = None
+    if path.suffix.lower() in (".tif", ".tiff"):
+        try:
+            arr = read_tiff(path)
+        except (ValueError, struct_error_types):
+            arr = None
+    if arr is None:
+        if _PILImage is None:
+            raise RuntimeError("PIL unavailable and file not a supported TIFF")
+        with _PILImage.open(path) as im:
+            arr = np.asarray(im)
+    rgb = _to_rgb_uint8(arr)
+    if grayscale:
+        return rgb.mean(axis=2).astype(np.uint8)
+    return rgb
+
+
+struct_error_types = (ValueError,)  # read_tiff raises ValueError on unsupported input
+
+
+def save_image(path, image: np.ndarray) -> None:
+    """Save uint8 image; format chosen by extension (TIFF via our codec)."""
+    path = Path(path)
+    if path.suffix.lower() in (".tif", ".tiff"):
+        write_tiff(path, image)
+        return
+    if _PILImage is None:  # pragma: no cover
+        raise RuntimeError("PIL unavailable for non-TIFF output")
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
+    _PILImage.fromarray(arr).save(path)
+
+
+def list_image_files(
+    directory, extensions: Sequence[str] = IMAGE_EXTENSIONS, recursive: bool = False
+) -> List[Path]:
+    """Sorted image files under ``directory`` (reference ``pipeline.py:265-269``)."""
+    directory = Path(directory)
+    pattern = "**/*" if recursive else "*"
+    files = [
+        p
+        for p in directory.glob(pattern)
+        if p.is_file() and p.suffix.lower() in extensions
+    ]
+    return sorted(files)

@@ -1,0 +1,387 @@
+"""Batched on-device cell morphometrics (the scientific core).
+
+TPU-native re-design of the reference metrics engine
+(reference ``utils/metrics.py:9-119``), which ran skimage ``regionprops`` +
+``find_contours`` + ``scipy.spatial.ConvexHull`` + ``polygon2mask`` per cell on
+the host. Here every metric is a fixed-shape ``jnp`` computation batched over
+all cells of an image (and vmappable over images), so the whole morphometrics
+stage fuses into the jitted pipeline program:
+
+* **area / centroid / bbox** — masked reductions over the mask grid; the bbox
+  keeps the reference's (row, col) regionprops convention (``min_x`` is the min
+  ROW; consumers compensate — see reference ``examples/plot_scatter_example.py:115-119``).
+* **perimeter** — the exact skimage ``regionprops.perimeter`` estimator
+  (4-connected border via erosion, 3x3 code convolution, weighted histogram
+  with weights 1, sqrt(2), (1+sqrt(2))/2), implemented as shifts + a small
+  lookup table: bit-identical weighting, fully vectorized.
+* **convex hull** — instead of host ConvexHull on contour points, we collect
+  the per-row/per-column extreme *boundary midpoints* (the same +-0.5 pixel
+  edge-midpoint convention as skimage ``find_contours`` vertices, a superset
+  of all hull vertices, only ``2*(h+w)`` candidates), take per-direction
+  argmax supports over ``D`` static directions via one small matmul (MXU
+  friendly), and evaluate the exact shoelace area / polygon perimeter of the
+  resulting angularly-ordered vertex cycle. With D=256 the area error versus
+  the exact hull is well below one pixel for cell-sized masks.
+  Divergence note: the reference rasterizes the hull polygon and re-measures
+  it with regionprops (``utils/metrics.py:42-48``); we use the exact polygon
+  area/perimeter, which is the same quantity without rasterization noise.
+* **circularity / deformability** — the reference formulas preserved exactly:
+  ``circularity = 2*sqrt(pi*hull_area)/hull_perimeter`` (hull-based — see the
+  DO-NOT-CHANGE comment at reference ``utils/metrics.py:75``) and
+  ``deformability = 1 - circularity``.
+* **brightness** — mean/std of the grayscale image inside a disk of radius
+  ``int(0.1 * min(image_shape))`` centered at the mask centroid (reference
+  ``utils/metrics.py:84-94``), computed from a static-size window around the
+  centroid via ``dynamic_slice`` so no host round-trip is needed.
+
+Masks may be given as full-image arrays or as fixed-size crops with a
+per-cell ``(row0, col0)`` offset; crops are how the pipeline bounds the work
+per cell (cells are tiny relative to the frame).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+METRIC_KEYS = (
+    "deformability",
+    "area",
+    "area_ratio",
+    "circularity",
+    "convex_hull_area",
+    "mask_x_length",
+    "mask_y_length",
+    "min_x",
+    "min_y",
+    "max_x",
+    "max_y",
+    "mean_brightness",
+    "brightness_std",
+    "perimeter",
+    "aspect_ratio",
+    "convex_hull_perimeter",
+)
+
+_BIG = 1.0e9
+
+# skimage.measure.perimeter weight table (4-neighborhood):
+#   codes 5,7,15,17,25,27 -> 1 ; codes 21,33 -> sqrt(2) ; codes 13,23 -> (1+sqrt(2))/2
+_PERIM_WEIGHTS = np.zeros(50, dtype=np.float32)
+_PERIM_WEIGHTS[[5, 7, 15, 17, 25, 27]] = 1.0
+_PERIM_WEIGHTS[[21, 33]] = math.sqrt(2.0)
+_PERIM_WEIGHTS[[13, 23]] = (1.0 + math.sqrt(2.0)) / 2.0
+
+
+def _shift2d(x: jnp.ndarray, dr: int, dc: int) -> jnp.ndarray:
+    """Shift a (..., h, w) array by (dr, dc) with zero fill."""
+    h, w = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [
+        (max(dr, 0), max(-dr, 0)),
+        (max(dc, 0), max(-dc, 0)),
+    ]
+    x = jnp.pad(x, pad)
+    rs = max(-dr, 0)
+    cs = max(-dc, 0)
+    return x[..., rs : rs + h, cs : cs + w]
+
+
+def perimeter_4n(mask: jnp.ndarray) -> jnp.ndarray:
+    """skimage-exact weighted perimeter of (..., h, w) binary masks.
+
+    Matches ``skimage.measure.perimeter(mask, neighborhood=4)`` (which is what
+    ``regionprops.perimeter`` computes, used at reference ``utils/metrics.py:65``).
+    """
+    m = mask.astype(jnp.float32)
+    # binary erosion with the 4-connected cross, border_value=0
+    eroded = (
+        m
+        * _shift2d(m, 1, 0)
+        * _shift2d(m, -1, 0)
+        * _shift2d(m, 0, 1)
+        * _shift2d(m, 0, -1)
+    )
+    border = m - eroded  # 0/1
+    # convolution with [[10,2,10],[2,1,2],[10,2,10]] (symmetric kernel)
+    diag = (
+        _shift2d(border, 1, 1)
+        + _shift2d(border, 1, -1)
+        + _shift2d(border, -1, 1)
+        + _shift2d(border, -1, -1)
+    )
+    orth = (
+        _shift2d(border, 1, 0)
+        + _shift2d(border, -1, 0)
+        + _shift2d(border, 0, 1)
+        + _shift2d(border, 0, -1)
+    )
+    code = (10.0 * diag + 2.0 * orth + border).astype(jnp.int32)
+    weights = jnp.asarray(_PERIM_WEIGHTS)
+    # only border pixels have odd codes; zero elsewhere via border multiply
+    per_pixel = jnp.take(weights, jnp.clip(code, 0, 49)) * border
+    return per_pixel.sum(axis=(-2, -1))
+
+
+@functools.lru_cache(maxsize=8)
+def _hull_directions(num_directions: int) -> np.ndarray:
+    ang = np.arange(num_directions, dtype=np.float64) * (2.0 * np.pi / num_directions)
+    return np.stack([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32)  # (D, 2)
+
+
+def convex_hull_measures(
+    masks: jnp.ndarray, num_directions: int = 256
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact convex hull (area, perimeter) of batched binary masks.
+
+    ``masks``: (K, h, w) bool/float. Returns (area (K,), perimeter (K,)) of the
+    convex hull of the boundary edge-midpoints (find_contours vertex
+    convention, reference ``utils/metrics.py:31-40``). Zero for empty masks.
+    """
+    m = masks.astype(jnp.float32)
+    k, h, w = m.shape
+    rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    any_mask = m.max(axis=(1, 2)) > 0  # (K,)
+    area = m.sum(axis=(1, 2))
+    cr = (m * rows).sum(axis=(1, 2)) / jnp.maximum(area, 1.0)
+    cc = (m * cols).sum(axis=(1, 2)) / jnp.maximum(area, 1.0)
+
+    # Per-row extreme columns / per-col extreme rows.
+    minc = jnp.where(m > 0, cols, _BIG).min(axis=2)  # (K, h)
+    maxc = jnp.where(m > 0, cols, -_BIG).max(axis=2)
+    row_ok = m.max(axis=2) > 0
+    minr = jnp.where(m > 0, rows, _BIG).min(axis=1)  # (K, w)
+    maxr = jnp.where(m > 0, rows, -_BIG).max(axis=1)
+    col_ok = m.max(axis=1) > 0
+
+    r_idx = jax.lax.broadcasted_iota(jnp.float32, (k, h), 1)
+    c_idx = jax.lax.broadcasted_iota(jnp.float32, (k, w), 1)
+
+    # Candidate points in the +-0.5 edge-midpoint convention; invalid rows/cols
+    # collapse to the centroid (strictly inside the hull, never extreme).
+    def fill(pts_r, pts_c, ok):
+        pr = jnp.where(ok, pts_r, cr[:, None])
+        pc = jnp.where(ok, pts_c, cc[:, None])
+        return jnp.stack([pr, pc], axis=-1)  # (K, n, 2)
+
+    pts = jnp.concatenate(
+        [
+            fill(r_idx, minc - 0.5, row_ok),
+            fill(r_idx, maxc + 0.5, row_ok),
+            fill(minr - 0.5, c_idx, col_ok),
+            fill(maxr + 0.5, c_idx, col_ok),
+        ],
+        axis=1,
+    )  # (K, N, 2) with N = 2h + 2w
+
+    dirs = jnp.asarray(_hull_directions(num_directions))  # (D, 2)
+    scores = jnp.einsum(
+        "knc,dc->knd", pts, dirs, preferred_element_type=jnp.float32
+    )  # (K, N, D)
+    arg = jnp.argmax(scores, axis=1)  # (K, D)
+    verts = jnp.take_along_axis(pts, arg[:, :, None], axis=1)  # (K, D, 2)
+
+    nxt = jnp.roll(verts, shift=-1, axis=1)
+    cross = verts[..., 0] * nxt[..., 1] - nxt[..., 0] * verts[..., 1]
+    hull_area = 0.5 * jnp.abs(cross.sum(axis=1))
+    seg = jnp.sqrt(jnp.sum((nxt - verts) ** 2, axis=-1) + 1e-12)
+    # zero-length repeats contribute ~sqrt(1e-12); mask them out exactly
+    seg = jnp.where(jnp.all(nxt == verts, axis=-1), 0.0, seg)
+    hull_perim = seg.sum(axis=1)
+
+    hull_area = jnp.where(any_mask, hull_area, 0.0)
+    hull_perim = jnp.where(any_mask, hull_perim, 0.0)
+    return hull_area, hull_perim
+
+
+def _brightness_disk(
+    gray: jnp.ndarray,
+    centroid_r: jnp.ndarray,
+    centroid_c: jnp.ndarray,
+    radius: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean/std of ``gray`` inside the centroid disk (scalar centroid inputs).
+
+    Replicates reference ``utils/metrics.py:84-94``: disk of integer radius
+    ``int(0.1 * min(H, W))`` around the float centroid, clipped at image
+    bounds, NOT intersected with the cell mask.
+    """
+    h, w = gray.shape
+    win = 2 * radius + 3
+    pad = radius + 1
+    gpad = jnp.pad(gray, pad)
+    # slice start in padded coords must lie in [0, dim + 2*pad - win]
+    r0 = jnp.clip(jnp.floor(centroid_r).astype(jnp.int32) - radius - 1, -pad, h + pad - win)
+    c0 = jnp.clip(jnp.floor(centroid_c).astype(jnp.int32) - radius - 1, -pad, w + pad - win)
+    window = jax.lax.dynamic_slice(gpad, (r0 + pad, c0 + pad), (win, win))
+    wr = jax.lax.broadcasted_iota(jnp.float32, (win, win), 0) + r0.astype(jnp.float32)
+    wc = jax.lax.broadcasted_iota(jnp.float32, (win, win), 1) + c0.astype(jnp.float32)
+    in_disk = (wr - centroid_r) ** 2 + (wc - centroid_c) ** 2 <= float(radius) ** 2
+    in_img = (wr >= 0) & (wr < h) & (wc >= 0) & (wc < w)
+    sel = (in_disk & in_img).astype(jnp.float32)
+    n = jnp.maximum(sel.sum(), 1.0)
+    mean = (window * sel).sum() / n
+    var = (((window - mean) * sel) ** 2).sum() / n
+    return mean, jnp.sqrt(var)
+
+
+def batched_cell_metrics(
+    masks: jnp.ndarray,
+    gray_image: jnp.ndarray,
+    offsets: Optional[jnp.ndarray] = None,
+    image_shape: Optional[Tuple[int, int]] = None,
+    num_directions: int = 256,
+) -> Dict[str, jnp.ndarray]:
+    """All 16 reference metrics for K cells of one image, on device.
+
+    Args:
+        masks: (K, h, w) binary cell masks — full-image arrays or fixed-size
+            crops (then ``offsets`` gives each crop's (row0, col0)).
+        gray_image: (H, W) float grayscale image (mean over RGB, reference
+            ``utils/metrics.py:81``).
+        offsets: optional (K, 2) int crop offsets; default zeros.
+        image_shape: logical image shape (H, W) for the brightness disk radius
+            (= crop-independent ``int(0.1 * min(H, W))``); defaults to
+            ``gray_image.shape``.
+        num_directions: hull support directions (static).
+
+    Returns:
+        dict of (K,) arrays keyed by :data:`METRIC_KEYS`. Empty masks yield
+        zeros (matching the reference's hull-failure path,
+        ``utils/metrics.py:52-59``).
+    """
+    m = masks.astype(jnp.float32)
+    k, h, w = m.shape
+    if offsets is None:
+        offsets = jnp.zeros((k, 2), dtype=jnp.int32)
+    if image_shape is None:
+        image_shape = gray_image.shape
+
+    rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    area = m.sum(axis=(1, 2))
+    nonempty = area > 0
+    safe_area = jnp.maximum(area, 1.0)
+    cr = (m * rows).sum(axis=(1, 2)) / safe_area + offsets[:, 0]
+    cc = (m * cols).sum(axis=(1, 2)) / safe_area + offsets[:, 1]
+
+    # bbox in regionprops convention: (min_row, min_col, max_row+1, max_col+1)
+    min_r = jnp.where(m > 0, rows, _BIG).min(axis=(1, 2)) + offsets[:, 0]
+    max_r = jnp.where(m > 0, rows, -_BIG).max(axis=(1, 2)) + 1.0 + offsets[:, 0]
+    min_c = jnp.where(m > 0, cols, _BIG).min(axis=(1, 2)) + offsets[:, 1]
+    max_c = jnp.where(m > 0, cols, -_BIG).max(axis=(1, 2)) + 1.0 + offsets[:, 1]
+    min_r = jnp.where(nonempty, min_r, 0.0)
+    max_r = jnp.where(nonempty, max_r, 0.0)
+    min_c = jnp.where(nonempty, min_c, 0.0)
+    max_c = jnp.where(nonempty, max_c, 0.0)
+
+    x_len = max_r - min_r  # rows ("x" in the reference's row/col naming)
+    y_len = max_c - min_c
+    aspect = jnp.where((x_len > 0) & (y_len > 0), x_len / jnp.maximum(y_len, 1.0), 0.0)
+
+    perim = perimeter_4n(m)
+    hull_area, hull_perim = convex_hull_measures(m, num_directions)
+    area_ratio = jnp.where(nonempty, hull_area / safe_area, 0.0)
+    circularity = jnp.where(
+        hull_perim > 0,
+        2.0 * jnp.sqrt(jnp.pi * hull_area) / jnp.maximum(hull_perim, 1e-6),
+        0.0,
+    )
+    deformability = 1.0 - circularity
+
+    radius = int(0.1 * min(image_shape))
+    mean_b, std_b = jax.vmap(lambda r, c: _brightness_disk(gray_image, r, c, radius))(
+        cr, cc
+    )
+    mean_b = jnp.where(nonempty, mean_b, 0.0)
+    std_b = jnp.where(nonempty, std_b, 0.0)
+
+    zero = jnp.zeros_like(area)
+    return {
+        # empty mask: circularity 0 => deformability 1 (hull-failure path,
+        # reference utils/metrics.py:52-59,75-78)
+        "deformability": jnp.where(nonempty, deformability, 1.0),
+        "area": area,
+        "area_ratio": area_ratio,
+        "circularity": circularity,
+        "convex_hull_area": hull_area,
+        "mask_x_length": jnp.where(nonempty, x_len, zero),
+        "mask_y_length": jnp.where(nonempty, y_len, zero),
+        "min_x": min_r,
+        "min_y": min_c,
+        "max_x": max_r,
+        "max_y": max_c,
+        "mean_brightness": mean_b,
+        "brightness_std": std_b,
+        "perimeter": perim,
+        "aspect_ratio": aspect,
+        "convex_hull_perimeter": hull_perim,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("num_directions",))
+def _single_metrics_jit(mask, gray, num_directions=256):
+    return batched_cell_metrics(mask[None], gray, num_directions=num_directions)
+
+
+def calculate_metrics(image: np.ndarray, mask: np.ndarray) -> Dict[str, float]:
+    """Single-cell host API, signature-compatible with the reference
+    ``calculate_metrics(image, mask)`` (``utils/metrics.py:9-119``).
+
+    Args:
+        image: RGB image (H, W, 3).
+        mask: binary mask (H, W) (extra singleton dims squeezed).
+
+    Returns:
+        dict with the reference's 16 keys and python scalar types
+        (ints for area/hull_area/bbox, floats elsewhere). Note
+        ``convex_hull_area`` is rounded to int for schema parity
+        (``utils/metrics.py:107``).
+    """
+    mask = np.asarray(mask)
+    if mask.ndim > 2:
+        mask = mask.squeeze()
+    mask = mask.astype(bool)
+    image = np.asarray(image)
+    assert mask.shape == image.shape[:2], (
+        f"Mask shape {mask.shape} does not match image shape {image.shape[:2]}"
+    )
+    gray = image.mean(axis=2).astype(np.float32)
+    out = _single_metrics_jit(jnp.asarray(mask), jnp.asarray(gray))
+    out = {key: np.asarray(v)[0] for key, v in out.items()}
+    result: Dict[str, float] = {}
+    for key in METRIC_KEYS:
+        v = float(out[key])
+        if key in ("area", "convex_hull_area", "mask_x_length", "mask_y_length",
+                   "min_x", "min_y", "max_x", "max_y"):
+            result[key] = int(round(v))
+        else:
+            result[key] = v
+    return result
+
+
+def calculate_metrics_no_convex_hull(image: np.ndarray, mask: np.ndarray) -> Dict[str, float]:
+    """Classical-pipeline variant with placeholder hull values.
+
+    Parity with reference ``examples/opencv_project_inference.py:30-107``:
+    circularity = deformability = 0.5, area_ratio = 1.0, hull stats mirror the
+    plain mask stats.
+    """
+    full = calculate_metrics(image, mask)
+    full.update(
+        {
+            "circularity": 0.5,
+            "deformability": 0.5,
+            "area_ratio": 1.0,
+            "convex_hull_area": full["area"],
+            "convex_hull_perimeter": full["perimeter"],
+        }
+    )
+    return full
