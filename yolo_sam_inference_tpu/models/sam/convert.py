@@ -1,0 +1,163 @@
+"""Convert HuggingFace SAM checkpoints to our JAX parameter pytree.
+
+Maps the ``transformers`` ``SamModel`` state-dict naming (as used by
+``facebook/sam-vit-base/large/huge``, the checkpoints the reference loads at
+``pipeline.py:76``) onto the tree layout defined in ``model.init_sam_params``.
+Accepts any mapping of name -> array (torch state_dict, safetensors dict, or
+plain numpy dict), so no torch import is required at call time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from .config import SamTPUConfig
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):  # torch tensor
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _lin(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """torch Linear (out, in) -> ours (in, out)."""
+    return {
+        "w": _np(sd[f"{prefix}.weight"]).T.copy(),
+        "b": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def _ln(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "scale": _np(sd[f"{prefix}.weight"]),
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def convert_hf_sam_state_dict(
+    sd: Mapping[str, Any], cfg: SamTPUConfig
+) -> Dict[str, Any]:
+    """Build our parameter pytree from a HF SamModel state dict."""
+
+    def vis_layer(i: int) -> Dict[str, Any]:
+        p = f"vision_encoder.layers.{i}"
+        return {
+            "ln1": _ln(sd, f"{p}.layer_norm1"),
+            "attn": {
+                "qkv": _lin(sd, f"{p}.attn.qkv"),
+                "proj": _lin(sd, f"{p}.attn.proj"),
+                "rel_pos_h": _np(sd[f"{p}.attn.rel_pos_h"]),
+                "rel_pos_w": _np(sd[f"{p}.attn.rel_pos_w"]),
+            },
+            "ln2": _ln(sd, f"{p}.layer_norm2"),
+            "mlp1": _lin(sd, f"{p}.mlp.lin1"),
+            "mlp2": _lin(sd, f"{p}.mlp.lin2"),
+        }
+
+    vision = {
+        "patch_embed": {
+            # torch conv (C, 3, ps, ps) -> HWIO (ps, ps, 3, C)
+            "w": _np(sd["vision_encoder.patch_embed.projection.weight"]).transpose(2, 3, 1, 0),
+            "b": _np(sd["vision_encoder.patch_embed.projection.bias"]),
+        },
+        "pos_embed": _np(sd["vision_encoder.pos_embed"]),
+        "layers": [vis_layer(i) for i in range(cfg.vision_layers)],
+        "neck": {
+            # 1x1 conv (oc, c, 1, 1) -> (c, oc)
+            "conv1_w": _np(sd["vision_encoder.neck.conv1.weight"])[:, :, 0, 0].T.copy(),
+            "ln1": _ln(sd, "vision_encoder.neck.layer_norm1"),
+            # 3x3 conv (oc, oc, 3, 3) -> HWIO
+            "conv2_w": _np(sd["vision_encoder.neck.conv2.weight"]).transpose(2, 3, 1, 0),
+            "ln2": _ln(sd, "vision_encoder.neck.layer_norm2"),
+        },
+    }
+
+    prompt = {
+        "point_embed": np.stack(
+            [_np(sd[f"prompt_encoder.point_embed.{i}.weight"])[0] for i in range(4)]
+        ),
+        "not_a_point": _np(sd["prompt_encoder.not_a_point_embed.weight"])[0],
+        "no_mask": _np(sd["prompt_encoder.no_mask_embed.weight"])[0],
+        "mask_embed": None,
+    }
+
+    def dec_attn(prefix: str) -> Dict[str, Any]:
+        return {
+            "q": _lin(sd, f"{prefix}.q_proj"),
+            "k": _lin(sd, f"{prefix}.k_proj"),
+            "v": _lin(sd, f"{prefix}.v_proj"),
+            "out": _lin(sd, f"{prefix}.out_proj"),
+        }
+
+    def dec_layer(i: int) -> Dict[str, Any]:
+        p = f"mask_decoder.transformer.layers.{i}"
+        return {
+            "self_attn": dec_attn(f"{p}.self_attn"),
+            "ln1": _ln(sd, f"{p}.layer_norm1"),
+            "t2i": dec_attn(f"{p}.cross_attn_token_to_image"),
+            "ln2": _ln(sd, f"{p}.layer_norm2"),
+            "mlp1": _lin(sd, f"{p}.mlp.lin1"),
+            "mlp2": _lin(sd, f"{p}.mlp.lin2"),
+            "ln3": _ln(sd, f"{p}.layer_norm3"),
+            "i2t": dec_attn(f"{p}.cross_attn_image_to_token"),
+            "ln4": _ln(sd, f"{p}.layer_norm4"),
+        }
+
+    def ff(prefix: str, depth: int) -> Dict[str, Any]:
+        return {
+            "in": _lin(sd, f"{prefix}.proj_in"),
+            "hidden": [_lin(sd, f"{prefix}.layers.{i}") for i in range(depth - 2)],
+            "out": _lin(sd, f"{prefix}.proj_out"),
+        }
+
+    decoder = {
+        "iou_token": _np(sd["mask_decoder.iou_token.weight"]),
+        "mask_tokens": _np(sd["mask_decoder.mask_tokens.weight"]),
+        "layers": [dec_layer(i) for i in range(cfg.decoder_layers)],
+        "final_t2i": dec_attn("mask_decoder.transformer.final_attn_token_to_image"),
+        "ln_final": _ln(sd, "mask_decoder.transformer.layer_norm_final_attn"),
+        # ConvTranspose2d weights are already (in, out, kh, kw) — our layout
+        "up1_w": _np(sd["mask_decoder.upscale_conv1.weight"]),
+        "up1_b": _np(sd["mask_decoder.upscale_conv1.bias"]),
+        "up_ln": _ln(sd, "mask_decoder.upscale_layer_norm"),
+        "up2_w": _np(sd["mask_decoder.upscale_conv2.weight"]),
+        "up2_b": _np(sd["mask_decoder.upscale_conv2.bias"]),
+        "hyper_mlps": [
+            ff(f"mask_decoder.output_hypernetworks_mlps.{i}", 3)
+            for i in range(cfg.num_mask_tokens)
+        ],
+        "iou_head": ff("mask_decoder.iou_prediction_head", cfg.iou_head_depth),
+    }
+
+    # Two Fourier matrices exist in the HF graph: the model-level
+    # shared_image_embedding (image-wide dense PE) and the prompt encoder's
+    # shared_embedding (point/box PE). Pretrained checkpoints tie them; random
+    # torch inits do not, so we carry both.
+    return {
+        "vision": vision,
+        "prompt": prompt,
+        "decoder": decoder,
+        "shared_pe": _np(sd["prompt_encoder.shared_embedding.positional_embedding"]),
+        "shared_image_pe": _np(sd["shared_image_embedding.positional_embedding"]),
+    }
+
+
+def load_sam_params(checkpoint_path: str, cfg: SamTPUConfig) -> Dict[str, Any]:
+    """Load a SAM checkpoint file (.safetensors / torch .bin/.pt) and convert."""
+    if str(checkpoint_path).endswith(".safetensors"):
+        try:
+            from safetensors.numpy import load_file
+
+            sd = load_file(checkpoint_path)
+        except ImportError as e:
+            raise RuntimeError("safetensors not available") from e
+    else:
+        import torch
+
+        sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+    return convert_hf_sam_state_dict(sd, cfg)

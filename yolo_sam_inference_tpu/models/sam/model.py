@@ -1,0 +1,533 @@
+"""SAM forward passes as pure JAX functions (NHWC, fp32-softmax, jit-ready).
+
+Numerics match the public SAM architecture (as shipped in HuggingFace
+``facebook/sam-vit-*`` checkpoints) so converted weights reproduce reference
+masks (target IoU >= 0.99, see BASELINE.md). Everything is fixed-shape:
+
+* :func:`sam_image_encoder` — ViT encoder, runs once per image batch;
+* :func:`sam_prompt_boxes` — box prompts (B, K, 4) -> sparse corner tokens;
+* :func:`sam_mask_decoder` — two-way transformer batched over the K box
+  prompts of every image in one program (the reference looped SAM over boxes
+  on the host, re-running the encoder each time: reference
+  ``pipeline.py:89-124`` in the loop at ``:170``).
+
+Parameters live in a plain nested-dict pytree (see :func:`init_sam_params`
+for the authoritative tree layout); linear weights are stored ``(in, out)``
+so application is ``x @ w + b``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SamTPUConfig
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------- common
+
+
+def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ p["w"] + p["b"]
+
+
+def _layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _softmax_fp32(logits: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # torch.nn.GELU default = exact erf formulation
+    return jax.nn.gelu(x, approximate=False)
+
+
+# ------------------------------------------------------------------- vision encoder
+
+
+def _vision_rel_bias(
+    q: jnp.ndarray, rel_h: jnp.ndarray, rel_w: jnp.ndarray, size: int
+) -> jnp.ndarray:
+    """Decomposed relative position bias for equal q/k grids of ``size``.
+
+    q: (B, heads, size*size, hd). rel tables: (2*size-1, hd). Returns bias
+    (B, heads, size*size, size*size). At the training resolution the table
+    gather is exact (no interpolation needed).
+    """
+    assert rel_h.shape[0] == 2 * size - 1, (rel_h.shape, size)
+    idx = np.arange(size)[:, None] - np.arange(size)[None, :] + size - 1  # (s, s)
+    rh = rel_h[idx]  # (s, s, hd) indexed [q_h, k_h]
+    rw = rel_w[idx]
+    b, h, _, hd = q.shape
+    qg = q.reshape(b, h, size, size, hd)
+    bias_h = jnp.einsum("bhqwc,qkc->bhqwk", qg, rh)  # (B, H, qh, qw, kh)
+    bias_w = jnp.einsum("bhqwc,wkc->bhqwk", qg, rw)  # (B, H, qh, qw, kw)
+    bias = bias_h[..., :, None] + bias_w[..., None, :]  # (B,H,qh,qw,kh,kw)
+    return bias.reshape(b, h, size * size, size * size)
+
+
+def _vision_attention(
+    p: Params, x: jnp.ndarray, heads: int, use_rel_pos: bool
+) -> jnp.ndarray:
+    """Windowed/global ViT attention. x: (B, S, S, C) square token grid."""
+    b, s, _, c = x.shape
+    hd = c // heads
+    qkv = _linear(p["qkv"], x.reshape(b, s * s, c))  # (B, N, 3C)
+    qkv = qkv.reshape(b, s * s, 3, heads, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, hd)
+    logits = jnp.einsum(
+        "bhqc,bhkc->bhqk", q * (hd**-0.5), k, preferred_element_type=jnp.float32
+    )
+    if use_rel_pos:
+        logits = logits + _vision_rel_bias(q, p["rel_pos_h"], p["rel_pos_w"], s)
+    attn = _softmax_fp32(logits).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s * s, c)
+    return _linear(p["proj"], out).reshape(b, s, s, c)
+
+
+def _window_partition(x: jnp.ndarray, ws: int) -> Tuple[jnp.ndarray, int]:
+    """(B, S, S, C) -> (B*nw*nw, ws, ws, C) with zero pad to a multiple of ws."""
+    b, s, _, c = x.shape
+    pad = (ws - s % ws) % ws
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, pad), (0, 0)))
+    ps = s + pad
+    nw = ps // ws
+    x = x.reshape(b, nw, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b * nw * nw, ws, ws, c), ps
+
+
+def _window_unpartition(win: jnp.ndarray, ws: int, padded: int, orig: int) -> jnp.ndarray:
+    nw = padded // ws
+    b = win.shape[0] // (nw * nw)
+    c = win.shape[-1]
+    x = win.reshape(b, nw, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, padded, padded, c)
+    return x[:, :orig, :orig, :]
+
+
+def sam_image_encoder(
+    params: Params, pixel_values: jnp.ndarray, cfg: SamTPUConfig
+) -> jnp.ndarray:
+    """ViT image encoder. pixel_values: (B, H, W, 3) normalized. -> (B, gs, gs, out_c)."""
+    p = params["vision"]
+    ps = cfg.patch_size
+    x = jax.lax.conv_general_dilated(
+        pixel_values,
+        p["patch_embed"]["w"],  # (ps, ps, 3, C) HWIO
+        window_strides=(ps, ps),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["patch_embed"]["b"]
+    x = x + p["pos_embed"]
+
+    s = cfg.grid_size
+    for i in range(cfg.vision_layers):
+        lp = p["layers"][i]
+        is_global = i in cfg.global_attn_indexes
+        shortcut = x
+        h = _layer_norm(lp["ln1"], x, cfg.layer_norm_eps)
+        if is_global:
+            h = _vision_attention(lp["attn"], h, cfg.vision_heads, cfg.use_rel_pos)
+        else:
+            win, padded = _window_partition(h, cfg.window_size)
+            win = _vision_attention(lp["attn"], win, cfg.vision_heads, cfg.use_rel_pos)
+            h = _window_unpartition(win, cfg.window_size, padded, s)
+        x = shortcut + h
+        h = _layer_norm(lp["ln2"], x, cfg.layer_norm_eps)
+        h = _linear(lp["mlp1"], h)
+        h = _gelu(h)
+        h = _linear(lp["mlp2"], h)
+        x = x + h
+
+    # neck: 1x1 conv -> LN -> 3x3 conv -> LN (channels-last)
+    n = p["neck"]
+    y = jnp.einsum("bhwc,co->bhwo", x, n["conv1_w"])
+    y = _layer_norm(n["ln1"], y, 1e-6)
+    y = jax.lax.conv_general_dilated(
+        y,
+        n["conv2_w"],  # (3, 3, out_c, out_c)
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = _layer_norm(n["ln2"], y, 1e-6)
+    return y
+
+
+# ------------------------------------------------------------------- prompt encoder
+
+
+def _fourier_embed(pe_matrix: jnp.ndarray, coords01: jnp.ndarray) -> jnp.ndarray:
+    """Random-Fourier positional encoding of coords in [0, 1]^2 -> (..., 2*npf).
+
+    The (..., 2) @ (2, npf) projection is written elementwise in fp32: a
+    matmul would be routed to the MXU at reduced default precision, and sine
+    arguments reach ~100 rad where bf16 rounding destroys the phase.
+    """
+    c = (2.0 * coords01 - 1.0).astype(jnp.float32)
+    pe = pe_matrix.astype(jnp.float32)
+    proj = c[..., 0:1] * pe[0] + c[..., 1:2] * pe[1]  # (..., npf)
+    proj = (2.0 * jnp.pi) * proj
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+def image_wide_positional_embedding(params: Params, cfg: SamTPUConfig) -> jnp.ndarray:
+    """Dense (gs, gs, C) positional encoding for the decoder's image tokens."""
+    gs = cfg.grid_size
+    y = (jnp.arange(gs, dtype=jnp.float32) + 0.5) / gs
+    x = (jnp.arange(gs, dtype=jnp.float32) + 0.5) / gs
+    grid = jnp.stack(
+        [jnp.tile(x[None, :], (gs, 1)), jnp.tile(y[:, None], (1, gs))], axis=-1
+    )  # (gs, gs, 2) as (x, y)
+    pe = params.get("shared_image_pe", params["shared_pe"])
+    return _fourier_embed(pe, grid)
+
+
+def sam_prompt_boxes(params: Params, boxes: jnp.ndarray, cfg: SamTPUConfig) -> jnp.ndarray:
+    """Encode box prompts. boxes: (B, K, 4) xyxy in 1024-input coords -> (B, K, 2, C)."""
+    pe = params["prompt"]
+    coords = (boxes + 0.5).reshape(*boxes.shape[:-1], 2, 2) / cfg.image_size
+    emb = _fourier_embed(params["shared_pe"], coords)  # (B, K, 2, C)
+    corner = jnp.stack(
+        [emb[..., 0, :] + pe["point_embed"][2], emb[..., 1, :] + pe["point_embed"][3]],
+        axis=-2,
+    )
+    return corner
+
+
+def sam_prompt_points(
+    params: Params,
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    cfg: SamTPUConfig,
+    pad: bool = True,
+) -> jnp.ndarray:
+    """Encode point prompts. points: (B, K, P, 2) xy; labels: (B, K, P) in {-1,0,1}.
+
+    Semantics: label 1 = foreground, 0 = background, -1 = padding (replaced by
+    the not-a-point embedding).
+    """
+    pe = params["prompt"]
+    if pad:
+        zeros = jnp.zeros(points.shape[:-2] + (1, 2), dtype=points.dtype)
+        neg = -jnp.ones(labels.shape[:-1] + (1,), dtype=labels.dtype)
+        points = jnp.concatenate([points, zeros], axis=-2)
+        labels = jnp.concatenate([labels, neg], axis=-1)
+    coords = (points + 0.5) / cfg.image_size
+    emb = _fourier_embed(params["shared_pe"], coords)
+    lab = labels[..., None]
+    emb = jnp.where(lab == -1, pe["not_a_point"], emb)
+    emb = jnp.where(lab == 0, emb + pe["point_embed"][0], emb)
+    emb = jnp.where(lab == 1, emb + pe["point_embed"][1], emb)
+    return emb
+
+
+def sam_dense_no_mask(params: Params, cfg: SamTPUConfig) -> jnp.ndarray:
+    """(gs, gs, C) dense embedding when no mask prompt is given."""
+    gs = cfg.grid_size
+    return jnp.broadcast_to(
+        params["prompt"]["no_mask"][None, None, :], (gs, gs, cfg.prompt_hidden)
+    )
+
+
+# --------------------------------------------------------------------- mask decoder
+
+
+def _decoder_attention(
+    p: Params, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int
+) -> jnp.ndarray:
+    """SAM decoder attention with optional internal downsampling. Inputs (N, T, C)."""
+    qp, kp, vp = _linear(p["q"], q), _linear(p["k"], k), _linear(p["v"], v)
+    n, tq, ci = qp.shape
+    tk = kp.shape[1]
+    hd = ci // heads
+
+    def split(x, t):
+        return x.reshape(n, t, heads, hd).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(qp, tq), split(kp, tk), split(vp, tk)
+    logits = jnp.einsum(
+        "nhqc,nhkc->nhqk", qh * (hd**-0.5), kh, preferred_element_type=jnp.float32
+    )
+    attn = _softmax_fp32(logits).astype(vh.dtype)
+    out = jnp.einsum("nhqk,nhkc->nhqc", attn, vh)
+    out = out.transpose(0, 2, 1, 3).reshape(n, tq, ci)
+    return _linear(p["out"], out)
+
+
+def _feed_forward(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """SAM FeedForward: relu MLP with proj_in / hidden layers / proj_out."""
+    x = jax.nn.relu(_linear(p["in"], x))
+    for lp in p["hidden"]:
+        x = jax.nn.relu(_linear(lp, x))
+    return _linear(p["out"], x)
+
+
+def _conv_transpose_2x(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """2x2-stride-2 transposed conv, NHWC. w: (in_c, out_c, 2, 2) (torch layout).
+
+    Each input pixel emits a 2x2 output block — expressed as one einsum
+    (a matmul on the MXU) plus an interleaving reshape; exact transposed-conv
+    semantics with no framework-convention risk.
+    """
+    bsz, h, wd, _ = x.shape
+    o = w.shape[1]
+    y = jnp.einsum("bhwc,coij->bhiwjo", x, w, preferred_element_type=jnp.float32)
+    y = y.reshape(bsz, h * 2, wd * 2, o).astype(x.dtype)
+    return y + b
+
+
+def sam_mask_decoder(
+    params: Params,
+    image_embeddings: jnp.ndarray,
+    sparse_prompts: jnp.ndarray,
+    cfg: SamTPUConfig,
+    dense_prompts: Optional[jnp.ndarray] = None,
+    multimask_output: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-way transformer mask decoder, batched over prompts.
+
+    Args:
+        image_embeddings: (B, gs, gs, C) from :func:`sam_image_encoder`.
+        sparse_prompts: (B, K, P, C) prompt tokens (P=2 for boxes).
+        dense_prompts: optional (B or 1, gs, gs, C); defaults to no-mask embed.
+        multimask_output: if True return 3 masks/prompt else 1 (reference uses
+            False: ``pipeline.py:109``).
+
+    Returns:
+        (low_res_masks (B, K, M, 4*gs, 4*gs), iou_scores (B, K, M)).
+    """
+    dp = params["decoder"]
+    b, gs, _, c = image_embeddings.shape
+    k = sparse_prompts.shape[1]
+    eps = cfg.decoder_layer_norm_eps
+
+    if dense_prompts is None:
+        dense_prompts = sam_dense_no_mask(params, cfg)[None]
+    img = image_embeddings + dense_prompts  # (B, gs, gs, C)
+    img_tokens = img.reshape(b, 1, gs * gs, c)
+    img_tokens = jnp.broadcast_to(img_tokens, (b, k, gs * gs, c)).reshape(b * k, gs * gs, c)
+
+    img_pe = image_wide_positional_embedding(params, cfg).reshape(1, gs * gs, c)
+
+    output_tokens = jnp.concatenate([dp["iou_token"], dp["mask_tokens"]], axis=0)
+    num_out = output_tokens.shape[0]
+    tokens = jnp.concatenate(
+        [
+            jnp.broadcast_to(output_tokens[None, None], (b, k, num_out, c)),
+            sparse_prompts,
+        ],
+        axis=2,
+    ).reshape(b * k, num_out + sparse_prompts.shape[2], c)
+
+    queries, keys = tokens, img_tokens
+    point_pe = tokens  # query positional embedding = initial prompt tokens
+
+    for i, lp in enumerate(dp["layers"]):
+        if i == 0:
+            q_attn = _decoder_attention(lp["self_attn"], queries, queries, queries, cfg.decoder_heads)
+            queries = q_attn  # skip_first_layer_pe: output replaces queries
+        else:
+            q = queries + point_pe
+            attn = _decoder_attention(lp["self_attn"], q, q, queries, cfg.decoder_heads)
+            queries = queries + attn
+        queries = _layer_norm(lp["ln1"], queries, eps)
+
+        q = queries + point_pe
+        kk = keys + img_pe
+        attn = _decoder_attention(lp["t2i"], q, kk, keys, cfg.decoder_heads)
+        queries = _layer_norm(lp["ln2"], queries + attn, eps)
+
+        mlp = _linear(lp["mlp2"], jax.nn.relu(_linear(lp["mlp1"], queries)))
+        queries = _layer_norm(lp["ln3"], queries + mlp, eps)
+
+        q = queries + point_pe
+        kk = keys + img_pe
+        attn = _decoder_attention(lp["i2t"], kk, q, queries, cfg.decoder_heads)
+        keys = _layer_norm(lp["ln4"], keys + attn, eps)
+
+    q = queries + point_pe
+    kk = keys + img_pe
+    attn = _decoder_attention(dp["final_t2i"], q, kk, keys, cfg.decoder_heads)
+    # the final LN is a default nn.LayerNorm in the source architecture -> eps 1e-5
+    queries = _layer_norm(dp["ln_final"], queries + attn, 1e-5)
+
+    iou_token_out = queries[:, 0, :]
+    mask_tokens_out = queries[:, 1 : 1 + cfg.num_mask_tokens, :]
+
+    # upscale image tokens 4x
+    up = keys.reshape(b * k, gs, gs, c)
+    up = _conv_transpose_2x(up, dp["up1_w"], dp["up1_b"])
+    up = _gelu(_layer_norm(dp["up_ln"], up, 1e-6))
+    up = _gelu(_conv_transpose_2x(up, dp["up2_w"], dp["up2_b"]))
+    hw4 = gs * 4
+
+    hyper = jnp.stack(
+        [
+            _feed_forward(dp["hyper_mlps"][i], mask_tokens_out[:, i, :])
+            for i in range(cfg.num_mask_tokens)
+        ],
+        axis=1,
+    )  # (B*K, M, C/8)
+    masks = jnp.einsum(
+        "nmc,npc->nmp", hyper, up.reshape(b * k, hw4 * hw4, -1),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, k, cfg.num_mask_tokens, hw4, hw4)
+
+    iou = _feed_forward(dp["iou_head"], iou_token_out).reshape(b, k, cfg.num_mask_tokens)
+
+    if multimask_output:
+        return masks[:, :, 1:], iou[:, :, 1:]
+    return masks[:, :, :1], iou[:, :, :1]
+
+
+def sam_forward_boxes(
+    params: Params,
+    pixel_values: jnp.ndarray,
+    boxes: jnp.ndarray,
+    cfg: SamTPUConfig,
+    multimask_output: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full SAM: images (B, H, W, 3 normalized) + boxes (B, K, 4) -> masks, iou.
+
+    The encoder runs once per image; the decoder handles all K boxes at once.
+    """
+    emb = sam_image_encoder(params, pixel_values, cfg)
+    sparse = sam_prompt_boxes(params, boxes, cfg)
+    return sam_mask_decoder(params, emb, sparse, cfg, multimask_output=multimask_output)
+
+
+# -------------------------------------------------------------------------- init
+
+
+def init_sam_params(rng: jax.Array, cfg: SamTPUConfig, dtype=jnp.float32) -> Params:
+    """Random-init parameter pytree (authoritative tree layout)."""
+    keys = iter(jax.random.split(rng, 4096))
+
+    def dense(i, o, scale=None):
+        s = scale if scale is not None else (1.0 / math.sqrt(i))
+        return {
+            "w": (jax.random.normal(next(keys), (i, o)) * s).astype(dtype),
+            "b": jnp.zeros((o,), dtype),
+        }
+
+    def ln(d):
+        return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+    c = cfg.vision_hidden
+    hd = c // cfg.vision_heads
+    gs = cfg.grid_size
+
+    def vis_layer(i):
+        ws = cfg.window_size if i not in cfg.global_attn_indexes else gs
+        return {
+            "ln1": ln(c),
+            "attn": {
+                "qkv": dense(c, 3 * c),
+                "proj": dense(c, c),
+                "rel_pos_h": jnp.zeros((2 * ws - 1, hd), dtype),
+                "rel_pos_w": jnp.zeros((2 * ws - 1, hd), dtype),
+            },
+            "ln2": ln(c),
+            "mlp1": dense(c, cfg.vision_mlp_dim),
+            "mlp2": dense(cfg.vision_mlp_dim, c),
+        }
+
+    oc = cfg.output_channels
+    vision = {
+        "patch_embed": {
+            "w": (
+                jax.random.normal(next(keys), (cfg.patch_size, cfg.patch_size, 3, c))
+                * 0.02
+            ).astype(dtype),
+            "b": jnp.zeros((c,), dtype),
+        },
+        "pos_embed": jnp.zeros((1, gs, gs, c), dtype),
+        "layers": [vis_layer(i) for i in range(cfg.vision_layers)],
+        "neck": {
+            "conv1_w": (jax.random.normal(next(keys), (c, oc)) * 0.02).astype(dtype),
+            "ln1": ln(oc),
+            "conv2_w": (jax.random.normal(next(keys), (3, 3, oc, oc)) * 0.02).astype(dtype),
+            "ln2": ln(oc),
+        },
+    }
+
+    ph = cfg.prompt_hidden
+    prompt = {
+        "point_embed": jax.random.normal(next(keys), (4, ph)).astype(dtype) * 0.02,
+        "not_a_point": jax.random.normal(next(keys), (ph,)).astype(dtype) * 0.02,
+        "no_mask": jax.random.normal(next(keys), (ph,)).astype(dtype) * 0.02,
+        "mask_embed": None,  # mask-prompt path unused by the pipeline
+    }
+
+    di = ph  # decoder hidden == prompt hidden
+    dh = di // 2  # downsampled internal dim
+
+    def dec_attn(internal):
+        return {
+            "q": dense(di, internal),
+            "k": dense(di, internal),
+            "v": dense(di, internal),
+            "out": dense(internal, di),
+        }
+
+    def dec_layer():
+        return {
+            "self_attn": dec_attn(di),
+            "ln1": ln(di),
+            "t2i": dec_attn(dh),
+            "ln2": ln(di),
+            "mlp1": dense(di, cfg.decoder_mlp_dim),
+            "mlp2": dense(cfg.decoder_mlp_dim, di),
+            "ln3": ln(di),
+            "i2t": dec_attn(dh),
+            "ln4": ln(di),
+        }
+
+    def ff(i, h, o, depth):
+        return {
+            "in": dense(i, h),
+            "hidden": [dense(h, h) for _ in range(depth - 2)],
+            "out": dense(h, o),
+        }
+
+    decoder = {
+        "iou_token": jax.random.normal(next(keys), (1, di)).astype(dtype) * 0.02,
+        "mask_tokens": jax.random.normal(next(keys), (cfg.num_mask_tokens, di)).astype(dtype) * 0.02,
+        "layers": [dec_layer() for _ in range(cfg.decoder_layers)],
+        "final_t2i": dec_attn(dh),
+        "ln_final": ln(di),
+        "up1_w": (jax.random.normal(next(keys), (di, di // 4, 2, 2)) * 0.02).astype(dtype),
+        "up1_b": jnp.zeros((di // 4,), dtype),
+        "up_ln": ln(di // 4),
+        "up2_w": (jax.random.normal(next(keys), (di // 4, di // 8, 2, 2)) * 0.02).astype(dtype),
+        "up2_b": jnp.zeros((di // 8,), dtype),
+        "hyper_mlps": [ff(di, di, di // 8, 3) for _ in range(cfg.num_mask_tokens)],
+        "iou_head": ff(di, cfg.iou_head_hidden, cfg.num_mask_tokens, cfg.iou_head_depth),
+    }
+
+    shared_pe = (
+        jax.random.normal(next(keys), (2, cfg.num_pos_feats)) * (cfg.vision_hidden // 2)
+    ).astype(dtype)
+
+    return {
+        "vision": vision,
+        "prompt": prompt,
+        "decoder": decoder,
+        "shared_pe": shared_pe,
+        "shared_image_pe": shared_pe,
+    }
