@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# Parity tests compare against torch fp32; the backend's default matmul/conv
+# precision is reduced (bf16-class), so force full precision under test.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np
 import pytest
 
