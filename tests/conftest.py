@@ -8,18 +8,16 @@ multi-chip sharding tests on a fake 8-device CPU backend
 """
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import jax
 
-# Parity tests compare against torch fp32; the backend's default matmul/conv
-# precision is reduced (bf16-class), so force full precision under test.
+# A sitecustomize on PYTHONPATH force-sets JAX_PLATFORMS=axon (the TPU
+# tunnel), so env vars are clobbered — use jax.config instead. Tests run on
+# an 8-device virtual CPU mesh: deterministic, covers multi-chip sharding.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+# Parity tests compare against torch fp32; TPU-default matmul/conv precision
+# is reduced (bf16-class) — force full precision under test.
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np

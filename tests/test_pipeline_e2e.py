@@ -1,0 +1,181 @@
+"""End-to-end pipeline tests on synthetic fixtures (CPU, tiny configs).
+
+Covers the minimum end-to-end slice of SURVEY.md §7.2 step 5: directory run,
+padded-batch semantics, metrics rows, CSV schema parity, visualization
+layout, and the direct ndarray API.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yolo_sam_inference_tpu.models.sam import sam_tiny_test
+from yolo_sam_inference_tpu.models.yolo import YoloConfig
+from yolo_sam_inference_tpu.ops.metrics import METRIC_KEYS
+from yolo_sam_inference_tpu.pipeline.engine import (
+    CellSegmentationPipeline,
+    ParallelCellSegmentationPipeline,
+    PipelineOptions,
+)
+from yolo_sam_inference_tpu.reporting import (
+    print_summary,
+    save_results_to_csv,
+    save_run_summary,
+)
+
+from synth import make_cell_image, make_project_tree
+
+
+TINY_OPTS = PipelineOptions(
+    batch_size=2,
+    max_det=8,
+    metric_crop=48,
+    conf_threshold=0.25,
+    yolo_size=64,
+    nms_candidates=64,
+    compute_dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    return CellSegmentationPipeline(
+        sam_config=sam_tiny_test(),
+        yolo_config=YoloConfig(num_classes=1),
+        options=TINY_OPTS,
+    )
+
+
+def test_process_batch_arrays_shapes(tiny_pipeline):
+    rng = np.random.default_rng(0)
+    imgs = np.stack([make_cell_image(rng) for _ in range(2)])
+    out = tiny_pipeline.process_batch_arrays(imgs)
+    b, k = 2, TINY_OPTS.max_det
+    assert out["boxes"].shape == (b, k, 4)
+    assert out["scores"].shape == (b, k)
+    assert out["valid"].shape == (b, k)
+    cm = min(TINY_OPTS.metric_crop, 96, 128)
+    assert out["mask_crops"].shape == (b, k, cm, cm)
+    assert out["offsets"].shape == (b, k, 2)
+    for key in METRIC_KEYS:
+        assert out["metrics"][key].shape == (b, k)
+    # boxes inside image bounds
+    assert (out["boxes"][..., [0, 2]] <= 128).all()
+    assert (out["boxes"][..., [1, 3]] <= 96).all()
+    assert (out["boxes"] >= 0).all()
+
+
+def test_invalid_cells_zeroed(tiny_pipeline):
+    rng = np.random.default_rng(1)
+    imgs = np.stack([make_cell_image(rng) for _ in range(2)])
+    out = tiny_pipeline.process_batch_arrays(imgs)
+    invalid = ~out["valid"]
+    assert (out["metrics"]["area"][invalid] == 0).all()
+    assert (~out["mask_crops"][invalid].any(axis=(-2, -1))).all()
+
+
+def test_process_single_image_timing_schema(tiny_pipeline, tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    p = tmp_path / "img.png"
+    Image.fromarray(make_cell_image(rng)).save(p)
+    res = tiny_pipeline.process_single_image(p, tmp_path, save_visualizations=False)
+    for key in ("image_load", "yolo_detection", "sam_preprocess",
+                "sam_inference_total", "metrics_total", "visualization",
+                "total_time", "cells_processed"):
+        assert key in res.timing, key
+    assert res.num_cells == len(res.cell_metrics)
+    for row in res.cell_metrics:
+        assert tuple(row.keys()) == METRIC_KEYS
+
+
+def test_process_directory_and_reports(tiny_pipeline, tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    in_dir = tmp_path / "input"
+    in_dir.mkdir()
+    for i in range(3):
+        Image.fromarray(make_cell_image(rng)).save(in_dir / f"im_{i}.png")
+
+    out_dir = tmp_path / "out"
+    batch = tiny_pipeline.process_directory(in_dir, out_dir, progress=False)
+    assert len(batch.results) == 3
+    assert batch.total_timing["total_cells"] == sum(r.num_cells for r in batch.results)
+
+    run_dir = out_dir / tiny_pipeline.run_id
+    save_results_to_csv(batch, run_dir)
+    save_run_summary(batch, in_dir, run_dir, tiny_pipeline.run_id, total_runtime=1.0)
+    print_summary(batch, total_runtime=1.0)
+
+    import pandas as pd
+
+    if batch.metrics_data:
+        df = pd.read_csv(run_dir / "cell_metrics.csv")
+        # golden column schema (reference reporting.py:19-27 + metrics keys)
+        assert list(df.columns)[:2] == ["image_name", "cell_id"]
+        for key in METRIC_KEYS:
+            assert key in df.columns
+    tdf = pd.read_csv(run_dir / "processing_times.csv")
+    assert list(tdf.columns)[:2] == ["image_name", "cells_processed"]
+    for col in ("image_load_ms", "yolo_detection_ms", "sam_preprocess_ms"):
+        assert col in tdf.columns
+    assert (run_dir / "run_summary.txt").read_text().startswith("Pipeline Run Summary")
+
+
+def test_mixed_shapes_grouped(tiny_pipeline, tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    in_dir = tmp_path / "mixed"
+    in_dir.mkdir()
+    Image.fromarray(make_cell_image(rng, 96, 128)).save(in_dir / "a.png")
+    Image.fromarray(make_cell_image(rng, 64, 96)).save(in_dir / "b.png")
+    batch = tiny_pipeline.process_directory(in_dir, tmp_path / "out2", progress=False)
+    assert len(batch.results) == 2
+
+
+def test_parallel_pipeline_ndarray_api():
+    pipe = ParallelCellSegmentationPipeline(
+        sam_config=sam_tiny_test(),
+        yolo_config=YoloConfig(num_classes=1),
+        options=TINY_OPTS,
+        num_pipelines=2,
+    )
+    rng = np.random.default_rng(5)
+    img = make_cell_image(rng)
+    boxes, masks, scores = pipe.process_image(img)
+    n = boxes.shape[0]
+    assert masks.shape == (n, 96, 128)
+    assert scores.shape == (n,)
+    if n:
+        assert (scores >= TINY_OPTS.conf_threshold).all()
+
+
+def test_visualization_layout(tiny_pipeline, tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(6)
+    p = tmp_path / "v.png"
+    Image.fromarray(make_cell_image(rng)).save(p)
+    res = tiny_pipeline.process_single_image(p, tmp_path / "vis", save_visualizations=True)
+    for d in (
+        "1_original_images",
+        "2_yolo_detections",
+        "3_processed_masks/masks",
+        "3_processed_masks/overlay_images",
+        "3_processed_masks/convex_hull_overlay",
+        "4_combined_visualization",
+    ):
+        assert (tmp_path / "vis" / d).is_dir(), d
+    assert (tmp_path / "vis" / "1_original_images" / "v_original.tiff").exists()
+
+
+def test_project_tree_fixture(tmp_path):
+    root = make_project_tree(tmp_path / "project")
+    pngs = list(root.rglob("*.png"))
+    assert len(pngs) == 2 * 2 * 3

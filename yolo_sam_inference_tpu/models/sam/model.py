@@ -414,16 +414,23 @@ def sam_forward_boxes(
 # -------------------------------------------------------------------------- init
 
 
-def init_sam_params(rng: jax.Array, cfg: SamTPUConfig, dtype=jnp.float32) -> Params:
-    """Random-init parameter pytree (authoritative tree layout)."""
-    keys = iter(jax.random.split(rng, 4096))
+def init_sam_params(rng, cfg: SamTPUConfig, dtype=jnp.float32) -> Params:
+    """Random-init parameter pytree (authoritative tree layout).
+
+    Initialization happens on the HOST (numpy): building ~300 leaves with
+    jax.random would trigger one remote XLA compile per op under the TPU
+    tunnel (minutes of cold startup); numpy costs one transfer per leaf.
+    ``rng`` may be a jax PRNGKey (hashed to a seed) or a plain int.
+    """
+    seed = rng if isinstance(rng, int) else int(np.asarray(rng).sum()) & 0x7FFFFFFF
+    nrng = np.random.default_rng(seed)
+
+    def randn(*shape, scale=1.0):
+        return jnp.asarray(nrng.normal(0.0, scale, size=shape), dtype=dtype)
 
     def dense(i, o, scale=None):
         s = scale if scale is not None else (1.0 / math.sqrt(i))
-        return {
-            "w": (jax.random.normal(next(keys), (i, o)) * s).astype(dtype),
-            "b": jnp.zeros((o,), dtype),
-        }
+        return {"w": randn(i, o, scale=s), "b": jnp.zeros((o,), dtype)}
 
     def ln(d):
         return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
@@ -451,7 +458,7 @@ def init_sam_params(rng: jax.Array, cfg: SamTPUConfig, dtype=jnp.float32) -> Par
     vision = {
         "patch_embed": {
             "w": (
-                jax.random.normal(next(keys), (cfg.patch_size, cfg.patch_size, 3, c))
+                randn(cfg.patch_size, cfg.patch_size, 3, c)
                 * 0.02
             ).astype(dtype),
             "b": jnp.zeros((c,), dtype),
@@ -459,18 +466,18 @@ def init_sam_params(rng: jax.Array, cfg: SamTPUConfig, dtype=jnp.float32) -> Par
         "pos_embed": jnp.zeros((1, gs, gs, c), dtype),
         "layers": [vis_layer(i) for i in range(cfg.vision_layers)],
         "neck": {
-            "conv1_w": (jax.random.normal(next(keys), (c, oc)) * 0.02).astype(dtype),
+            "conv1_w": (randn(c, oc) * 0.02).astype(dtype),
             "ln1": ln(oc),
-            "conv2_w": (jax.random.normal(next(keys), (3, 3, oc, oc)) * 0.02).astype(dtype),
+            "conv2_w": (randn(3, 3, oc, oc) * 0.02).astype(dtype),
             "ln2": ln(oc),
         },
     }
 
     ph = cfg.prompt_hidden
     prompt = {
-        "point_embed": jax.random.normal(next(keys), (4, ph)).astype(dtype) * 0.02,
-        "not_a_point": jax.random.normal(next(keys), (ph,)).astype(dtype) * 0.02,
-        "no_mask": jax.random.normal(next(keys), (ph,)).astype(dtype) * 0.02,
+        "point_embed": randn(4, ph).astype(dtype) * 0.02,
+        "not_a_point": randn(ph,).astype(dtype) * 0.02,
+        "no_mask": randn(ph,).astype(dtype) * 0.02,
         "mask_embed": None,  # mask-prompt path unused by the pipeline
     }
 
@@ -506,22 +513,22 @@ def init_sam_params(rng: jax.Array, cfg: SamTPUConfig, dtype=jnp.float32) -> Par
         }
 
     decoder = {
-        "iou_token": jax.random.normal(next(keys), (1, di)).astype(dtype) * 0.02,
-        "mask_tokens": jax.random.normal(next(keys), (cfg.num_mask_tokens, di)).astype(dtype) * 0.02,
+        "iou_token": randn(1, di).astype(dtype) * 0.02,
+        "mask_tokens": randn(cfg.num_mask_tokens, di).astype(dtype) * 0.02,
         "layers": [dec_layer() for _ in range(cfg.decoder_layers)],
         "final_t2i": dec_attn(dh),
         "ln_final": ln(di),
-        "up1_w": (jax.random.normal(next(keys), (di, di // 4, 2, 2)) * 0.02).astype(dtype),
+        "up1_w": (randn(di, di // 4, 2, 2) * 0.02).astype(dtype),
         "up1_b": jnp.zeros((di // 4,), dtype),
         "up_ln": ln(di // 4),
-        "up2_w": (jax.random.normal(next(keys), (di // 4, di // 8, 2, 2)) * 0.02).astype(dtype),
+        "up2_w": (randn(di // 4, di // 8, 2, 2) * 0.02).astype(dtype),
         "up2_b": jnp.zeros((di // 8,), dtype),
         "hyper_mlps": [ff(di, di, di // 8, 3) for _ in range(cfg.num_mask_tokens)],
         "iou_head": ff(di, cfg.iou_head_hidden, cfg.num_mask_tokens, cfg.iou_head_depth),
     }
 
     shared_pe = (
-        jax.random.normal(next(keys), (2, cfg.num_pos_feats)) * (cfg.vision_hidden // 2)
+        randn(2, cfg.num_pos_feats) * (cfg.vision_hidden // 2)
     ).astype(dtype)
 
     return {

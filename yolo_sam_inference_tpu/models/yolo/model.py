@@ -151,14 +151,21 @@ def decode_predictions(
 # ----------------------------------------------------------------------- init
 
 
-def init_yolo_params(rng: jax.Array, cfg: YoloConfig, dtype=jnp.float32) -> Params:
-    """Random-init parameter pytree (authoritative layout; BN pre-folded)."""
-    keys = iter(jax.random.split(rng, 4096))
+def init_yolo_params(rng, cfg: YoloConfig, dtype=jnp.float32) -> Params:
+    """Random-init parameter pytree (authoritative layout; BN pre-folded).
+
+    Host-side numpy init (one transfer per leaf) — per-leaf jax.random ops
+    would each trigger a remote compile under the TPU tunnel.
+    """
+    seed = rng if isinstance(rng, int) else int(np.asarray(rng).sum()) & 0x7FFFFFFF
+    nrng = np.random.default_rng(seed)
 
     def conv(i, o, k=1):
         fan = i * k * k
         return {
-            "w": (jax.random.normal(next(keys), (k, k, i, o)) / math.sqrt(fan)).astype(dtype),
+            "w": jnp.asarray(
+                nrng.normal(0.0, 1.0 / math.sqrt(fan), size=(k, k, i, o)), dtype=dtype
+            ),
             "b": jnp.zeros((o,), dtype),
         }
 

@@ -1,0 +1,22 @@
+"""Parallelism layer: device meshes, sharding rules, multi-host runs.
+
+The reference's only parallelism was thread-replicated models on one device
+and process pools for CPU work (SURVEY.md §2.6). Here scaling is TPU-native:
+
+* data-parallel inference over a ``jax.sharding.Mesh`` (images sharded on the
+  batch axis, weights replicated) — ICI collectives only for metric gathers;
+* optional tensor-parallel sharding of the SAM ViT encoder for large models;
+* multi-host folder sharding by ``jax.process_index()`` striding with
+  per-host CSV shards (``multihost.py``).
+"""
+
+from .mesh import make_mesh, data_sharding, replicate_sharding
+from .train import sam_decoder_train_step, make_train_state
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicate_sharding",
+    "sam_decoder_train_step",
+    "make_train_state",
+]
