@@ -78,6 +78,12 @@ def _vision_rel_bias(
     return bias.reshape(b, h, size * size, size * size)
 
 
+# Token-grid side length at/above which the Pallas flash kernel takes over
+# from naive attention. Windowed layers (s = 14) and test-size grids stay
+# naive; 1024-input global layers (s = 64 -> N = 4096) go through flash.
+_FLASH_MIN_GRID = 32
+
+
 def _vision_attention(
     p: Params, x: jnp.ndarray, heads: int, use_rel_pos: bool
 ) -> jnp.ndarray:
@@ -87,13 +93,35 @@ def _vision_attention(
     qkv = _linear(p["qkv"], x.reshape(b, s * s, c))  # (B, N, 3C)
     qkv = qkv.reshape(b, s * s, 3, heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, hd)
-    logits = jnp.einsum(
-        "bhqc,bhkc->bhqk", q * (hd**-0.5), k, preferred_element_type=jnp.float32
-    )
-    if use_rel_pos:
-        logits = logits + _vision_rel_bias(q, p["rel_pos_h"], p["rel_pos_w"], s)
-    attn = _softmax_fp32(logits).astype(v.dtype)
-    out = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
+
+    if use_rel_pos and s >= _FLASH_MIN_GRID and jax.default_backend() != "cpu":
+        from ...ops.flash_attention import flash_attention_relpos
+
+        idx = np.arange(s)[:, None] - np.arange(s)[None, :] + s - 1
+        rh_tab = p["rel_pos_h"][idx].astype(jnp.float32)  # (s, s, hd) [qy, ky]
+        rw_tab = p["rel_pos_w"][idx].astype(jnp.float32)
+        qg = q.reshape(b, heads, s, s, hd).astype(jnp.float32)
+        # score tables: (B, H, N, s) — ~1000x smaller than full logits
+        rh = jnp.einsum("bhqwc,qkc->bhqwk", qg, rh_tab).reshape(b * heads, s * s, s)
+        rw = jnp.einsum("bhqwc,wkc->bhqwk", qg, rw_tab).reshape(b * heads, s * s, s)
+        out = flash_attention_relpos(
+            q.reshape(b * heads, s * s, hd),
+            k.reshape(b * heads, s * s, hd),
+            v.reshape(b * heads, s * s, hd),
+            rh,
+            rw,
+            grid_s=s,
+        )
+        out = out.reshape(b, heads, s * s, hd)
+    else:
+        logits = jnp.einsum(
+            "bhqc,bhkc->bhqk", q * (hd**-0.5), k, preferred_element_type=jnp.float32
+        )
+        if use_rel_pos:
+            logits = logits + _vision_rel_bias(q, p["rel_pos_h"], p["rel_pos_w"], s)
+        attn = _softmax_fp32(logits).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
+
     out = out.transpose(0, 2, 1, 3).reshape(b, s * s, c)
     return _linear(p["proj"], out).reshape(b, s, s, c)
 

@@ -1,0 +1,176 @@
+"""Pallas TPU flash attention with SAM's decomposed relative-position bias.
+
+The SAM ViT encoder's global-attention layers attend over N = 64*64 = 4096
+tokens. Naive attention materializes (B, heads, N, N) fp32 logits — 12.9 GB
+at batch 16 — making the encoder HBM-bandwidth-bound (measured: the dominant
+cost in bench.py before this kernel). This kernel streams K/V tiles through
+VMEM with the classic running-max/running-sum online softmax, so logits
+never leave the chip.
+
+SAM's decomposed rel-pos bias (mvitv2-style) factors as
+``bias[q, k] = rh[q, ky(k)] + rw[q, kx(k)]`` with ky = k // S, kx = k % S for
+an S x S token grid. We precompute the two small score tables
+
+    rh = einsum(q_grid, rel_pos_h)   # (BH, N, S)
+    rw = einsum(q_grid, rel_pos_w)   # (BH, N, S)
+
+outside the kernel (S = 64, so both are ~1000x smaller than the logits) and
+reconstruct each (block_q, block_k) bias tile inside the kernel with a
+repeat (ky is constant over contiguous S-column chunks) plus a tile of rw.
+
+Grid: (BH, num_q_blocks, num_k_blocks), k innermost; block_k must be a
+multiple of S.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1.0e30
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, rh_ref, rw_ref,  # inputs
+    o_ref,  # output
+    m_scr, l_scr, acc_scr,  # scratch
+    *, scale: float, grid_s: int, block_k: int, num_k: int,
+):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (bq, hd)
+    k = k_ref[0]  # (bk, hd)
+    v = v_ref[0]  # (bk, hd)
+
+    s = jax.lax.dot_general(
+        q.astype(jnp.float32) * scale,
+        k.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, bk)
+
+    # decomposed rel-pos bias tile: ky constant over contiguous S columns.
+    # rh arrives TRANSPOSED (chunks, bq) — ky blocked on the sublane dim,
+    # since lane-dim block slicing would need 128 alignment.
+    chunks = block_k // grid_s
+    rh_blk = rh_ref[0]  # (chunks, bq)
+    rw_blk = rw_ref[0]  # (bq, S)
+    bq = q.shape[0]
+    bias_h = jnp.broadcast_to(
+        rh_blk.T[:, :, None], (bq, chunks, grid_s)
+    ).reshape(bq, block_k)
+    bias_w = jnp.broadcast_to(
+        rw_blk[:, None, :], (bq, chunks, grid_s)
+    ).reshape(bq, block_k)
+    s = s + bias_h + bias_w
+
+    m_prev = m_scr[:, 0:1]  # (bq, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
+    p = jnp.exp(s - m_new)  # (bq, bk)
+
+    l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == num_k - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:, 0:1], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_s", "block_q", "block_k", "interpret"),
+)
+def flash_attention_relpos(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rh: jnp.ndarray,
+    rw: jnp.ndarray,
+    grid_s: int,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention with decomposed rel-pos bias.
+
+    Args:
+        q, k, v: (BH, N, hd) with N = grid_s**2.
+        rh, rw: (BH, N, grid_s) rel-pos score tables (see module docstring).
+        grid_s: token-grid side length S.
+        block_q/block_k: tile sizes; block_k % grid_s == 0.
+        interpret: run in Pallas interpreter mode (CPU tests).
+
+    Returns:
+        (BH, N, hd) attention output, dtype of v. Softmax is fp32 throughout.
+    """
+    bh, n, hd = q.shape
+    assert n == grid_s * grid_s, (n, grid_s)
+    block_q = min(block_q, n)
+    block_k = min(block_k, n)
+    assert n % block_q == 0 and n % block_k == 0
+    assert block_k % grid_s == 0
+    num_q = n // block_q
+    num_k = n // block_k
+    chunks = block_k // grid_s
+    scale = hd ** -0.5
+    rh = rh.transpose(0, 2, 1)  # (BH, S, N): ky on the sublane-blockable dim
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, grid_s=grid_s, block_k=block_k, num_k=num_k
+    )
+
+    grid = (bh, num_q, num_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda b, qi, ki: (b, ki, 0)),
+            # rh transposed (BH, S, N): ky chunk selected on the sublane dim
+            pl.BlockSpec((1, chunks, block_q), lambda b, qi, ki: (b, ki, qi)),
+            pl.BlockSpec((1, block_q, grid_s), lambda b, qi, ki: (b, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n, hd), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, rh, rw)
+    return out
+
+
+def reference_attention_relpos(q, k, v, rh, rw, grid_s):
+    """Naive oracle with the same bias decomposition (for tests)."""
+    bh, n, hd = q.shape
+    s = jnp.einsum("bqc,bkc->bqk", q * (hd ** -0.5), k).astype(jnp.float32)
+    ky = jnp.arange(n) // grid_s
+    kx = jnp.arange(n) % grid_s
+    bias = rh[:, :, ky] + rw[:, :, kx]  # (BH, N, N) — test sizes only
+    attn = jax.nn.softmax(s + bias, axis=-1)
+    return jnp.einsum("bqk,bkc->bqc", attn, v.astype(jnp.float32)).astype(v.dtype)
