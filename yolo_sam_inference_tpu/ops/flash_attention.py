@@ -60,20 +60,25 @@ def _flash_kernel(
         preferred_element_type=jnp.float32,
     )  # (bq, bk)
 
-    # decomposed rel-pos bias tile: ky constant over contiguous S columns.
-    # rh arrives TRANSPOSED (chunks, bq) — ky blocked on the sublane dim,
-    # since lane-dim block slicing would need 128 alignment.
+    # Decomposed rel-pos bias tile: ky is constant over contiguous S-column
+    # chunks. Mosaic's vector layouts reject broadcast+reshape lane merges,
+    # so build the bias with pure 2D masked ops: extract rh[:, ky0+c] as a
+    # (bq, 1) column via a masked row-reduce, then select it into this
+    # chunk's lanes.
     chunks = block_k // grid_s
-    rh_blk = rh_ref[0]  # (chunks, bq)
+    rh_blk = rh_ref[0]  # (bq, S) full table for these q rows
     rw_blk = rw_ref[0]  # (bq, S)
     bq = q.shape[0]
-    bias_h = jnp.broadcast_to(
-        rh_blk.T[:, :, None], (bq, chunks, grid_s)
-    ).reshape(bq, block_k)
-    bias_w = jnp.broadcast_to(
-        rw_blk[:, None, :], (bq, chunks, grid_s)
-    ).reshape(bq, block_k)
-    s = s + bias_h + bias_w
+    ky0 = ki * chunks
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (bq, grid_s), 1)
+    col_chunk = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) // grid_s
+    for c in range(chunks):
+        colval = jnp.sum(
+            jnp.where(lane_s == ky0 + c, rh_blk, 0.0), axis=1, keepdims=True
+        )  # (bq, 1) = rh[:, ky0 + c]
+        s = s + jnp.where(col_chunk == c, colval, 0.0)
+    bias_w = jnp.concatenate([rw_blk] * chunks, axis=1)  # (bq, block_k)
+    s = s + bias_w
 
     m_prev = m_scr[:, 0:1]  # (bq, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -132,7 +137,6 @@ def flash_attention_relpos(
     num_k = n // block_k
     chunks = block_k // grid_s
     scale = hd ** -0.5
-    rh = rh.transpose(0, 2, 1)  # (BH, S, N): ky on the sublane-blockable dim
 
     kernel = functools.partial(
         _flash_kernel, scale=scale, grid_s=grid_s, block_k=block_k, num_k=num_k
@@ -146,8 +150,7 @@ def flash_attention_relpos(
             pl.BlockSpec((1, block_q, hd), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k, hd), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_k, hd), lambda b, qi, ki: (b, ki, 0)),
-            # rh transposed (BH, S, N): ky chunk selected on the sublane dim
-            pl.BlockSpec((1, chunks, block_q), lambda b, qi, ki: (b, ki, qi)),
+            pl.BlockSpec((1, block_q, grid_s), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_q, grid_s), lambda b, qi, ki: (b, qi, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, hd), lambda b, qi, ki: (b, qi, 0)),
