@@ -47,12 +47,13 @@ class SamTPUConfig:
         return self.grid_size * 4  # 256 for standard SAM
 
 
-def sam_vit_b() -> SamTPUConfig:
-    return SamTPUConfig()
+def sam_vit_b(image_size: int = 1024) -> SamTPUConfig:
+    return SamTPUConfig(image_size=image_size)
 
 
-def sam_vit_l() -> SamTPUConfig:
+def sam_vit_l(image_size: int = 1024) -> SamTPUConfig:
     return SamTPUConfig(
+        image_size=image_size,
         vision_hidden=1024,
         vision_layers=24,
         vision_heads=16,
@@ -61,8 +62,9 @@ def sam_vit_l() -> SamTPUConfig:
     )
 
 
-def sam_vit_h() -> SamTPUConfig:
+def sam_vit_h(image_size: int = 1024) -> SamTPUConfig:
     return SamTPUConfig(
+        image_size=image_size,
         vision_hidden=1280,
         vision_layers=32,
         vision_heads=16,

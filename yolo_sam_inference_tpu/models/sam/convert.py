@@ -145,6 +145,54 @@ def convert_hf_sam_state_dict(
     }
 
 
+def adapt_resolution(params: Dict[str, Any], cfg_to: SamTPUConfig) -> Dict[str, Any]:
+    """Adapt SAM params to a different encoder input resolution.
+
+    Running the encoder at the image's *native* resolution instead of the
+    fixed 1024 canvas is the main throughput lever on TPU (a 512px image on
+    a 32x32 token grid does 16x less global-attention work). Weights adapt
+    at load time — zero runtime cost:
+
+    * ``pos_embed`` (1, gs, gs, C): bilinear resize to the new grid;
+    * global-attention ``rel_pos_h/w`` (2*gs-1, hd): linear interpolation
+      (the same semantics as the runtime ``get_rel_pos`` interpolation in
+      the public SAM implementations);
+    * windowed layers keep their window-sized tables unchanged.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    gs_to = cfg_to.grid_size
+    params = dict(params)
+    vision = dict(params["vision"])
+    pos = jnp.asarray(vision["pos_embed"])
+    if pos.shape[1] != gs_to:
+        vision["pos_embed"] = jax.image.resize(
+            pos, (1, gs_to, gs_to, pos.shape[-1]), method="bilinear"
+        )
+
+    def interp_rel(table):
+        table = jnp.asarray(table)
+        length = 2 * gs_to - 1
+        if table.shape[0] == length:
+            return table
+        # linear interpolation along the first axis (F.interpolate 'linear')
+        return jax.image.resize(table, (length, table.shape[1]), method="linear")
+
+    layers = []
+    for i, lp in enumerate(vision["layers"]):
+        if i in cfg_to.global_attn_indexes:
+            lp = dict(lp)
+            attn = dict(lp["attn"])
+            attn["rel_pos_h"] = interp_rel(attn["rel_pos_h"])
+            attn["rel_pos_w"] = interp_rel(attn["rel_pos_w"])
+            lp["attn"] = attn
+        layers.append(lp)
+    vision["layers"] = layers
+    params["vision"] = vision
+    return params
+
+
 def load_sam_params(checkpoint_path: str, cfg: SamTPUConfig) -> Dict[str, Any]:
     """Load a SAM checkpoint file (.safetensors / torch .bin/.pt) and convert."""
     if str(checkpoint_path).endswith(".safetensors"):
@@ -160,4 +208,7 @@ def load_sam_params(checkpoint_path: str, cfg: SamTPUConfig) -> Dict[str, Any]:
         sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
         if "state_dict" in sd:
             sd = sd["state_dict"]
-    return convert_hf_sam_state_dict(sd, cfg)
+    params = convert_hf_sam_state_dict(sd, cfg)
+    if cfg.image_size != 1024:  # checkpoints are 1024-native
+        params = adapt_resolution(params, cfg)
+    return params

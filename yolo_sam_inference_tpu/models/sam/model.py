@@ -104,6 +104,12 @@ def _vision_attention(
         # score tables: (B, H, N, s) — ~1000x smaller than full logits
         rh = jnp.einsum("bhqwc,qkc->bhqwk", qg, rh_tab).reshape(b * heads, s * s, s)
         rw = jnp.einsum("bhqwc,wkc->bhqwk", qg, rw_tab).reshape(b * heads, s * s, s)
+
+        # tile sizes: largest divisors of N within VMEM-friendly budgets,
+        # block_k a multiple of the grid side (bias chunking invariant)
+        n = s * s
+        bq = max(d for d in range(8, min(512, n) + 1, 8) if n % d == 0)
+        bk = max(m for m in range(s, min(1024, n) + 1, s) if n % m == 0)
         out = flash_attention_relpos(
             q.reshape(b * heads, s * s, hd),
             k.reshape(b * heads, s * s, hd),
@@ -111,6 +117,8 @@ def _vision_attention(
             rh,
             rw,
             grid_s=s,
+            block_q=bq,
+            block_k=bk,
         )
         out = out.reshape(b, heads, s * s, hd)
     else:

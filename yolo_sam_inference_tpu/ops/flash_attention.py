@@ -39,7 +39,7 @@ def _flash_kernel(
     q_ref, k_ref, v_ref, rh_ref, rw_ref,  # inputs
     o_ref,  # output
     m_scr, l_scr, acc_scr,  # scratch
-    *, scale: float, grid_s: int, block_k: int, num_k: int,
+    *, scale: float, grid_s: int, block_k: int, num_k: int, use_bias: bool = True,
 ):
     ki = pl.program_id(2)
 
@@ -53,32 +53,35 @@ def _flash_kernel(
     k = k_ref[0]  # (bk, hd)
     v = v_ref[0]  # (bk, hd)
 
+    # MXU matmuls take bf16 inputs with fp32 accumulation; scale applied to
+    # q in its own dtype (exact for power-of-two head dims).
     s = jax.lax.dot_general(
-        q.astype(jnp.float32) * scale,
-        k.astype(jnp.float32),
+        q * q.dtype.type(scale),
+        k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (bq, bk)
+    )  # (bq, bk) fp32
 
     # Decomposed rel-pos bias tile: ky is constant over contiguous S-column
-    # chunks. Mosaic's vector layouts reject broadcast+reshape lane merges,
-    # so build the bias with pure 2D masked ops: extract rh[:, ky0+c] as a
-    # (bq, 1) column via a masked row-reduce, then select it into this
-    # chunk's lanes.
+    # chunks. Per chunk: extract rh[:, ky0+c] as (bq, 1) with one masked
+    # row-reduce over (bq, S), add it (+ rw) to that chunk's S-column slice
+    # of s, and reassemble with a concat — O(block_k) VPU work per step
+    # instead of per-chunk full-tile selects (which made the kernel
+    # VPU-bound at ~2M ops/step).
     chunks = block_k // grid_s
-    rh_blk = rh_ref[0]  # (bq, S) full table for these q rows
-    rw_blk = rw_ref[0]  # (bq, S)
-    bq = q.shape[0]
-    ky0 = ki * chunks
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, (bq, grid_s), 1)
-    col_chunk = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) // grid_s
-    for c in range(chunks):
-        colval = jnp.sum(
-            jnp.where(lane_s == ky0 + c, rh_blk, 0.0), axis=1, keepdims=True
-        )  # (bq, 1) = rh[:, ky0 + c]
-        s = s + jnp.where(col_chunk == c, colval, 0.0)
-    bias_w = jnp.concatenate([rw_blk] * chunks, axis=1)  # (bq, block_k)
-    s = s + bias_w
+    if use_bias:
+        rh_blk = rh_ref[0]  # (bq, S)
+        rw_blk = rw_ref[0]  # (bq, S)
+        bq = q.shape[0]
+        ky0 = ki * chunks
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (bq, grid_s), 1)
+        pieces = []
+        for c in range(chunks):
+            colval = jnp.sum(
+                jnp.where(lane_s == ky0 + c, rh_blk, 0.0), axis=1, keepdims=True
+            )  # (bq, 1) = rh[:, ky0 + c]
+            pieces.append(s[:, c * grid_s : (c + 1) * grid_s] + (rw_blk + colval))
+        s = jnp.concatenate(pieces, axis=1) if chunks > 1 else pieces[0]
 
     m_prev = m_scr[:, 0:1]  # (bq, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -88,7 +91,7 @@ def _flash_kernel(
 
     l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p, v.astype(jnp.float32),
+        p.astype(v.dtype), v,  # bf16 x bf16 -> fp32 accumulate on the MXU
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -102,7 +105,7 @@ def _flash_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_s", "block_q", "block_k", "interpret"),
+    static_argnames=("grid_s", "block_q", "block_k", "interpret", "use_bias"),
 )
 def flash_attention_relpos(
     q: jnp.ndarray,
@@ -114,6 +117,7 @@ def flash_attention_relpos(
     block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
+    use_bias: bool = True,
 ) -> jnp.ndarray:
     """Flash attention with decomposed rel-pos bias.
 
@@ -139,7 +143,8 @@ def flash_attention_relpos(
     scale = hd ** -0.5
 
     kernel = functools.partial(
-        _flash_kernel, scale=scale, grid_s=grid_s, block_k=block_k, num_k=num_k
+        _flash_kernel, scale=scale, grid_s=grid_s, block_k=block_k, num_k=num_k,
+        use_bias=use_bias,
     )
 
     grid = (bh, num_q, num_k)

@@ -108,6 +108,20 @@ class PipelineOptions:
     yolo_size: int = 640
     num_hull_directions: int = 256
     compute_dtype: Any = jnp.bfloat16  # encoder/decoder activations on TPU
+    # SAM encoder canvas: None = native resolution (smallest of 256/512/768/
+    # 1024 that fits the image) — the main TPU throughput lever; weights are
+    # resolution-adapted at load time (models/sam/convert.adapt_resolution).
+    # Set 1024 to force the reference's fixed canvas.
+    sam_encoder_size: Optional[int] = None
+
+    def encoder_size_for(self, h: int, w: int) -> int:
+        if self.sam_encoder_size is not None:
+            return self.sam_encoder_size
+        m = max(h, w)
+        for size in (256, 512, 768, 1024):
+            if m <= size:
+                return size
+        return 1024
 
 
 # ------------------------------------------------------------ stage functions
@@ -314,11 +328,29 @@ class CellSegmentationPipeline:
 
     # -- compiled stage accessors ---------------------------------------------
 
+    def _sam_params_for(self, scfg: SamTPUConfig):
+        """Resolution-adapted SAM params (cached per encoder size)."""
+        size = scfg.image_size
+        if size == self.sam_config.image_size:
+            return self.sam_params
+        if not hasattr(self, "_adapted_params"):
+            self._adapted_params = {}
+        if size not in self._adapted_params:
+            from ..models.sam.convert import adapt_resolution
+
+            self._adapted_params[size] = adapt_resolution(self.sam_params, scfg)
+        return self._adapted_params[size]
+
     def _stages(self, h: int, w: int):
         """jitted stage functions specialized for image shape (h, w)."""
         key = (h, w)
         if key not in self._stage_cache:
-            opts, ycfg, scfg = self.options, self.yolo_config, self.sam_config
+            import dataclasses as _dc
+
+            opts, ycfg = self.options, self.yolo_config
+            enc_size = opts.encoder_size_for(h, w)
+            scfg = _dc.replace(self.sam_config, image_size=enc_size)
+            sam_params = self._sam_params_for(scfg)
 
             detect = jax.jit(
                 lambda yp, img: detect_stage(yp, img, ycfg, opts)
@@ -347,6 +379,7 @@ class CellSegmentationPipeline:
                 "segment": segment,
                 "metrics": metrics,
                 "fused": jax.jit(fused),
+                "sam_params": sam_params,
             }
         return self._stage_cache[key]
 
@@ -375,9 +408,9 @@ class CellSegmentationPipeline:
 
         dev_images = jnp.asarray(images)
         boxes, scores, valid = timed("yolo_detection", st["detect"], self.yolo_params, dev_images)
-        emb = timed("sam_preprocess", st["embed"], self.sam_params, dev_images)
+        emb = timed("sam_preprocess", st["embed"], st["sam_params"], dev_images)
         crops, offs = timed(
-            "sam_inference_total", st["segment"], self.sam_params, emb, boxes, valid
+            "sam_inference_total", st["segment"], st["sam_params"], emb, boxes, valid
         )
         gray = dev_images.astype(jnp.float32).mean(axis=-1)
         mets = timed("metrics_total", st["metrics"], crops, offs, gray)
@@ -395,7 +428,7 @@ class CellSegmentationPipeline:
         """Single-program execution (maximum throughput; used by bench)."""
         b, h, w, _ = images.shape
         st = self._stages(h, w)
-        return st["fused"](self.yolo_params, self.sam_params, images)
+        return st["fused"](self.yolo_params, st["sam_params"], images)
 
     # -- host-level helpers -----------------------------------------------------
 
