@@ -1,0 +1,169 @@
+"""Tests for the tool layer: scatter HTML, training-data prep, tiff2png,
+frame-cleaner gating logic, images.bin classical pipeline."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from synth import make_cell_image
+
+
+@pytest.fixture
+def fake_run_dir(tmp_path, rng):
+    """A run dir with gated_cell_metrics.csv + 1_original_images/ TIFFs."""
+    from yolo_sam_inference_tpu.utils.image_utils import save_optimized_tiff
+
+    run = tmp_path / "run"
+    (run / "1_original_images").mkdir(parents=True)
+    rows = []
+    for cond in ("a", "b"):
+        for i in range(12):
+            name = f"{cond}_img{i}.png"
+            save_optimized_tiff(
+                make_cell_image(rng), run / "1_original_images" / f"{cond}_img{i}_original.tiff"
+            )
+            rows.append(
+                {
+                    "condition": cond,
+                    "image_name": name,
+                    "cell_id": 0,
+                    "deformability": rng.uniform(0, 0.5),
+                    "convex_hull_area": rng.uniform(200, 800),
+                    "area": 300,
+                    "min_x": 20, "max_x": 50, "min_y": 30, "max_y": 70,
+                }
+            )
+    pd.DataFrame(rows).to_csv(run / "gated_cell_metrics.csv", index=False)
+    return run
+
+
+def test_scatter_plot_html(fake_run_dir):
+    from yolo_sam_inference_tpu.apps.plot_scatter import create_scatter_plot
+
+    out = create_scatter_plot(fake_run_dir)
+    html = out.read_text()
+    assert html.startswith("<!DOCTYPE html>")
+    assert "convex_hull_area" in html and "deformability" in html
+    # data embedded with both conditions and hover images
+    assert '"condition": "a"' in html and '"condition": "b"' in html
+    assert "data:image/png;base64," in html or '"img":' in html
+
+
+def test_training_data_prep(fake_run_dir, tmp_path):
+    from yolo_sam_inference_tpu.apps.deformability_training_data import (
+        GROUP_NAMES,
+        create_training_data,
+    )
+
+    out_dir = tmp_path / "train"
+    meta = create_training_data(fake_run_dir, out_dir)
+    assert len(meta) > 0
+    assert (out_dir / "metadata.csv").exists()
+    for g in meta["group"].unique():
+        assert g in GROUP_NAMES
+        assert (out_dir / g).is_dir()
+    # crops exist on disk
+    sample = meta.iloc[0]
+    assert (out_dir / sample["file"]).exists()
+
+
+def test_tiff2png(tmp_path, rng):
+    from yolo_sam_inference_tpu.apps.tiff2png import convert_tree, sanitize_filename
+    from yolo_sam_inference_tpu.io.tiff import write_tiff
+
+    src = tmp_path / "in" / "sub dir"
+    src.mkdir(parents=True)
+    write_tiff(src / "weird name (1).tiff", rng.integers(0, 255, (20, 30)).astype(np.uint8))
+    n = convert_tree(tmp_path / "in", tmp_path / "out")
+    assert n == 1
+    pngs = list((tmp_path / "out").rglob("*.png"))
+    assert len(pngs) == 1
+    assert sanitize_filename("a  b(c)!.tiff") == "a_b_c_.tiff" or "(" not in pngs[0].name
+
+
+def test_frame_cleaner_classification():
+    from yolo_sam_inference_tpu.apps.yolo_frame_cleaner import classify_frame
+
+    roi = {"x_min": 0, "y_min": 0, "x_max": 100, "y_max": 100}
+    boxes = np.array([[10, 10, 30, 30], [0, 0, 5, 5]], dtype=float)
+    # one confident contained detection -> target
+    kind, box = classify_frame(boxes, np.array([0.9, 0.1]), np.array([True, True]), roi)
+    assert kind == "target"
+    np.testing.assert_array_equal(box, boxes[0])
+    # two confident detections -> rejected
+    kind, _ = classify_frame(boxes, np.array([0.9, 0.8]), np.array([True, True]), roi)
+    assert kind == "rejected"
+    # none confident -> background
+    kind, _ = classify_frame(boxes, np.array([0.2, 0.1]), np.array([True, True]), roi)
+    assert kind == "background"
+    # detection touching the ROI border -> not contained -> rejected
+    edge = np.array([[0, 10, 30, 30]], dtype=float)
+    kind, _ = classify_frame(edge, np.array([0.9]), np.array([True]), roi)
+    assert kind == "rejected"
+
+
+@pytest.fixture
+def images_bin_project(tmp_path, rng):
+    """Synthetic acquisition project: batch dir with images.bin + roi.csv +
+    background; frames contain one ring-shaped cell (outer + inner contour)."""
+    from yolo_sam_inference_tpu.io.images_bin import write_images_bin
+
+    batch = tmp_path / "proj" / "batch_1"
+    batch.mkdir(parents=True)
+    h, w = 96, 128
+    bg = rng.normal(30, 1, size=(h, w)).clip(0, 255).astype(np.uint8)
+    frames = []
+    yy, xx = np.mgrid[:h, :w]
+    for i in range(6):
+        f = bg.copy().astype(np.float64)
+        cy, cx = 48, 40 + i * 8
+        ring = ((yy - cy) ** 2 + (xx - cx) ** 2 <= 14**2) & (
+            (yy - cy) ** 2 + (xx - cx) ** 2 >= 9**2
+        )
+        f[ring] = 220
+        frames.append(f.astype(np.uint8))
+    write_images_bin(batch / "images.bin", frames)
+    pd.DataFrame([{"x": 0, "y": 0, "width": w, "height": h}]).to_csv(
+        batch / "roi.csv", index=False
+    )
+    from PIL import Image
+
+    Image.fromarray(bg).save(batch / "background.png")
+    return tmp_path / "proj"
+
+
+def test_ms_process_end_to_end(images_bin_project, tmp_path):
+    from yolo_sam_inference_tpu.classical.ms_process import (
+        MsProcessingConfig,
+        process_project,
+    )
+
+    out = tmp_path / "msout"
+    cfg = MsProcessingConfig(threshold=30, min_area=100, max_area=2000)
+    df = process_project(images_bin_project, out, cfg)
+    assert (out / "deformability_results.csv").exists()
+    assert (out / "pipeline_parameters.json").exists()
+    # ring cells -> single outer with single inner hole; circular -> low deformability
+    assert len(df) >= 3
+    assert (df["circularity"] > 0.8).all()
+    assert (df["deformability"] < 0.2).all()
+    assert (df["area"] >= 100).all()
+
+
+def test_ms_process_cpp_exact_metric():
+    """circularity = sqrt(4*pi*A)/P for a perfect circle contour ~= 1."""
+    cv2 = pytest.importorskip("cv2")
+    from yolo_sam_inference_tpu.classical.ms_process import contour_metrics
+
+    mask = np.zeros((100, 100), dtype=np.uint8)
+    cv2.circle(mask, (50, 50), 30, 1, -1)
+    cnts, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)
+    m = contour_metrics(cnts[0])
+    # cv2.arcLength of a CHAIN_APPROX_NONE pixel contour overestimates the
+    # true perimeter (staircase), so a digital circle lands near ~0.94 —
+    # the same bias the C++ implementation has.
+    assert m["circularity"] == pytest.approx(0.95, abs=0.06)
+    assert m["deformability"] == pytest.approx(0.05, abs=0.06)

@@ -105,7 +105,10 @@ class PipelineOptions:
     conf_threshold: float = 0.25
     iou_threshold: float = 0.7
     nms_candidates: int = 256
-    yolo_size: int = 640
+    # YOLO letterbox canvas: None = native (max(H, W) rounded up to a
+    # 32-multiple, capped at 640) — avoids upscaling small frames to the
+    # 640 training canvas. Set 640 to force ultralytics-default behavior.
+    yolo_size: Optional[int] = None
     num_hull_directions: int = 256
     compute_dtype: Any = jnp.bfloat16  # encoder/decoder activations on TPU
     # SAM encoder canvas: None = native resolution (smallest of 256/512/768/
@@ -123,6 +126,11 @@ class PipelineOptions:
                 return size
         return 1024
 
+    def yolo_size_for(self, h: int, w: int) -> int:
+        if self.yolo_size is not None:
+            return self.yolo_size
+        return min(640, ((max(h, w) + 31) // 32) * 32)
+
 
 # ------------------------------------------------------------ stage functions
 # Pure functions of (params, arrays); the engine jits them per input shape.
@@ -132,7 +140,8 @@ def detect_stage(
     yolo_params, images_u8: jnp.ndarray, ycfg: YoloConfig, opts: PipelineOptions
 ):
     """uint8 (B, H, W, 3) -> boxes xyxy in original pixels, scores, valid."""
-    lb, scale, (pad_x, pad_y) = letterbox_batch(images_u8, opts.yolo_size)
+    ysize = opts.yolo_size_for(images_u8.shape[1], images_u8.shape[2])
+    lb, scale, (pad_x, pad_y) = letterbox_batch(images_u8, ysize)
     outs = yolo_forward(yolo_params, lb, ycfg)
     boxes, scores = decode_predictions(outs, ycfg)
     scores = scores.max(axis=-1)  # single-class cell detector
@@ -422,6 +431,18 @@ class CellSegmentationPipeline:
             "mask_crops": np.asarray(crops),
             "offsets": np.asarray(offs),
             "metrics": {k: np.asarray(v) for k, v in mets.items()},
+        }
+
+    def detect_batch_arrays(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        """YOLO-only path: uint8 (B, H, W, 3) -> boxes/scores/valid on host
+        (for detection-only tools like the frame cleaner)."""
+        b, h, w, _ = images.shape
+        st = self._stages(h, w)
+        boxes, scores, valid = st["detect"](self.yolo_params, jnp.asarray(images))
+        return {
+            "boxes": np.asarray(boxes),
+            "scores": np.asarray(scores),
+            "valid": np.asarray(valid),
         }
 
     def fused_call(self, images: jnp.ndarray):
