@@ -1,0 +1,70 @@
+"""TinyViT (MobileSAM) encoder tests: shapes, jit, engine integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolo_sam_inference_tpu.models.sam.tinyvit import (
+    TinyViTConfig,
+    init_tinyvit_params,
+    tinyvit_encoder,
+)
+
+
+def test_encoder_shapes_and_jit():
+    cfg = TinyViTConfig(image_size=128, output_channels=32)
+    params = init_tinyvit_params(0, cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 128, 128, 3)).astype(np.float32))
+    out = jax.jit(lambda p, x: tinyvit_encoder(p, x, cfg))(params, x)
+    assert out.shape == (2, 8, 8, 32)  # 128/16 grid
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_resolution_independent_weights():
+    """Same params run at multiple resolutions (no abs pos embed)."""
+    cfg128 = TinyViTConfig(image_size=128, output_channels=32)
+    cfg256 = TinyViTConfig(image_size=256, output_channels=32)
+    params = init_tinyvit_params(0, cfg128)
+    x = jnp.zeros((1, 256, 256, 3), dtype=jnp.float32)
+    out = tinyvit_encoder(params, x, cfg256)
+    assert out.shape == (1, 16, 16, 32)
+
+
+def test_window_attention_bias_index():
+    from yolo_sam_inference_tpu.models.sam.tinyvit import _offset_index
+
+    idx = _offset_index(3)
+    assert idx.shape == (9, 9)
+    assert idx.max() == 24 and idx.min() == 0  # (2*3-1)^2 = 25 offsets
+    # mirrored pairs sum to the max offset code
+    assert idx[0, 8] + idx[8, 0] == 24
+    assert idx[4, 4] == 12  # zero offset = center code
+
+
+def test_mobile_sam_engine_integration():
+    from yolo_sam_inference_tpu.models.sam import sam_tiny_test
+    from yolo_sam_inference_tpu.models.yolo import YoloConfig
+    from yolo_sam_inference_tpu.pipeline.engine import (
+        CellSegmentationPipeline,
+        PipelineOptions,
+    )
+
+    import dataclasses
+
+    pipe = CellSegmentationPipeline(
+        sam_model_type="mobile-sam",
+        sam_config=dataclasses.replace(sam_tiny_test(), image_size=64),
+        yolo_config=YoloConfig(num_classes=1),
+        options=PipelineOptions(
+            batch_size=1, max_det=4, metric_crop=48, yolo_size=64,
+            nms_candidates=32, compute_dtype=jnp.float32, sam_encoder_size=64,
+        ),
+    )
+    assert "tinyvit" in pipe.sam_params
+    from synth import make_cell_image
+
+    img = make_cell_image(np.random.default_rng(0))
+    out = pipe.process_batch_arrays(img[None])
+    assert out["mask_crops"].shape[0] == 1

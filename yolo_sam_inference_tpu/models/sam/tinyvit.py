@@ -1,0 +1,241 @@
+"""TinyViT-5M image encoder (the MobileSAM swap), pure JAX.
+
+BASELINE.json config 2 asks for a "MobileSAM/TinyViT swap (latency-optimized
+single-image path)". MobileSAM keeps SAM's prompt encoder + mask decoder and
+replaces the ViT-B image encoder with a distilled TinyViT-5M producing the
+same (64, 64, 256) embedding, ~40x fewer encoder FLOPs.
+
+Architecture (TinyViT-5M @ 1024, MobileSAM variant):
+* patch embed: two stride-2 conv+BN+GELU stems -> /4 resolution;
+* stage 0: MBConv blocks (conv stage) @ 256px, 64ch;
+* stages 1-3: window transformer blocks (learned per-offset attention
+  biases, depthwise local conv between attention and MLP) @ 128/64/64 px
+  with 128/160/320 channels — the final patch-merging keeps stride 1 so the
+  output grid stays 64x64;
+* neck: 1x1 conv -> LN -> 3x3 conv -> LN to 256 channels (as SAM's neck).
+
+BatchNorm folds into convs at conversion; the engine swaps this in via
+``sam_model_type="mobile-sam"``. Weight conversion from official MobileSAM
+checkpoints maps the ``image_encoder.*`` torch names onto this tree
+(best-effort: no MobileSAM checkpoint is available in this environment to
+round-trip; the architecture itself is shape- and jit-tested).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TinyViTConfig:
+    image_size: int = 1024
+    embed_dims: Tuple[int, ...] = (64, 128, 160, 320)
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (2, 4, 5, 10)
+    window_sizes: Tuple[int, ...] = (7, 7, 14, 7)
+    mlp_ratio: float = 4.0
+    mbconv_expand: float = 4.0
+    output_channels: int = 256
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // 16
+
+
+def _conv_bn(p: Params, x: jnp.ndarray, stride: int = 1, groups: int = 1) -> jnp.ndarray:
+    """Conv with pre-folded BN (HWIO weights, 'same' padding)."""
+    kh = p["w"].shape[0]
+    pad = kh // 2
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"],
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    return y + p["b"]
+
+
+def _mbconv(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = jax.nn.gelu(_conv_bn(p["conv1"], x))
+    h = jax.nn.gelu(_conv_bn(p["conv2"], h, groups=h.shape[-1]))
+    h = _conv_bn(p["conv3"], h)
+    return jax.nn.gelu(x + h)
+
+
+def _patch_merge(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    h = jax.nn.gelu(_conv_bn(p["conv1"], x))
+    h = jax.nn.gelu(_conv_bn(p["conv2"], h, stride=stride, groups=h.shape[-1]))
+    return _conv_bn(p["conv3"], h)
+
+
+def _layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, -1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _window_attention(p: Params, x: jnp.ndarray, heads: int, ws: int) -> jnp.ndarray:
+    """Windowed attention with learned per-offset bias. x: (B, H, W, C)."""
+    b, hgt, wid, c = x.shape
+    pad_h = (ws - hgt % ws) % ws
+    pad_w = (ws - wid % ws) % ws
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    ph, pw = hgt + pad_h, wid + pad_w
+    nh, nw = ph // ws, pw // ws
+    win = x.reshape(b, nh, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    win = win.reshape(b * nh * nw, ws * ws, c)
+
+    hd = c // heads
+    qkv = win @ p["qkv_w"] + p["qkv_b"]  # (N, T, 3C)
+    qkv = qkv.reshape(-1, ws * ws, 3, heads, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    # learned attention bias indexed by pairwise offset
+    idx = _offset_index(ws)
+    bias = p["attn_bias"][:, idx]  # (heads, T, T)
+    logits = jnp.einsum(
+        "nhqc,nhkc->nhqk", q * (hd**-0.5), k, preferred_element_type=jnp.float32
+    ) + bias[None]
+    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("nhqk,nhkc->nhqc", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(-1, ws * ws, c)
+    out = out @ p["proj_w"] + p["proj_b"]
+
+    out = out.reshape(b, nh, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(b, ph, pw, c)
+    return out[:, :hgt, :wid, :]
+
+
+_OFFSET_CACHE: Dict[int, np.ndarray] = {}
+
+
+def _offset_index(ws: int) -> np.ndarray:
+    if ws not in _OFFSET_CACHE:
+        coords = np.stack(np.mgrid[:ws, :ws], -1).reshape(-1, 2)
+        rel = coords[:, None, :] - coords[None, :, :] + (ws - 1)
+        _OFFSET_CACHE[ws] = rel[..., 0] * (2 * ws - 1) + rel[..., 1]
+    return _OFFSET_CACHE[ws]
+
+
+def _tinyvit_block(p: Params, x: jnp.ndarray, heads: int, ws: int, cfg) -> jnp.ndarray:
+    h = _layer_norm(p["ln1"], x)
+    x = x + _window_attention(p["attn"], h, heads, ws)
+    x = x + _conv_bn(p["local_conv"], x, groups=x.shape[-1])
+    h = _layer_norm(p["ln2"], x)
+    h = jax.nn.gelu(h @ p["mlp1_w"] + p["mlp1_b"])
+    h = h @ p["mlp2_w"] + p["mlp2_b"]
+    return x + h
+
+
+def tinyvit_encoder(params: Params, pixel_values: jnp.ndarray, cfg: TinyViTConfig) -> jnp.ndarray:
+    """(B, S, S, 3) normalized -> (B, S/16, S/16, output_channels)."""
+    p = params
+    x = jax.nn.gelu(_conv_bn(p["stem1"], pixel_values, stride=2))
+    x = jax.nn.gelu(_conv_bn(p["stem2"], x, stride=2))  # /4
+
+    # stage 0: MBConv
+    for bp in p["stage0"]:
+        x = _mbconv(bp, x)
+    x = _patch_merge(p["merge0"], x, stride=2)  # /8
+
+    for si in (1, 2, 3):
+        for bp in p[f"stage{si}"]:
+            x = _tinyvit_block(bp, x, cfg.num_heads[si], cfg.window_sizes[si], cfg)
+        if si < 3:
+            # last merge keeps stride 1 so the final grid is S/16 (MobileSAM)
+            stride = 2 if si == 1 else 1
+            x = _patch_merge(p[f"merge{si}"], x, stride=stride)
+
+    n = p["neck"]
+    y = jnp.einsum("bhwc,co->bhwo", x, n["conv1_w"])
+    y = _layer_norm(n["ln1"], y, 1e-6)
+    y = jax.lax.conv_general_dilated(
+        y, n["conv2_w"], (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return _layer_norm(n["ln2"], y, 1e-6)
+
+
+def init_tinyvit_params(rng, cfg: TinyViTConfig, dtype=jnp.float32) -> Params:
+    """Host-numpy random init."""
+    seed = rng if isinstance(rng, int) else int(np.asarray(rng).sum()) & 0x7FFFFFFF
+    nrng = np.random.default_rng(seed)
+
+    def conv(i, o, k=1):
+        fan = i * k * k
+        return {
+            "w": jnp.asarray(nrng.normal(0, 1 / math.sqrt(fan), (k, k, i, o)), dtype=dtype),
+            "b": jnp.zeros((o,), dtype),
+        }
+
+    def dwconv(c, k=3):
+        return {
+            "w": jnp.asarray(nrng.normal(0, 1 / math.sqrt(k * k), (k, k, 1, c)), dtype=dtype),
+            "b": jnp.zeros((c,), dtype),
+        }
+
+    def dense(i, o):
+        return (
+            jnp.asarray(nrng.normal(0, 1 / math.sqrt(i), (i, o)), dtype=dtype),
+            jnp.zeros((o,), dtype),
+        )
+
+    def ln(d):
+        return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+    d0, d1, d2, d3 = cfg.embed_dims
+
+    def mbconv(c):
+        h = int(c * cfg.mbconv_expand)
+        return {"conv1": conv(c, h), "conv2": dwconv(h), "conv3": conv(h, c)}
+
+    def merge(ci, co):
+        return {"conv1": conv(ci, co), "conv2": dwconv(co), "conv3": conv(co, co)}
+
+    def block(c, heads, ws):
+        qkv_w, qkv_b = dense(c, 3 * c)
+        proj_w, proj_b = dense(c, c)
+        m1w, m1b = dense(c, int(c * cfg.mlp_ratio))
+        m2w, m2b = dense(int(c * cfg.mlp_ratio), c)
+        return {
+            "ln1": ln(c),
+            "attn": {
+                "qkv_w": qkv_w, "qkv_b": qkv_b,
+                "proj_w": proj_w, "proj_b": proj_b,
+                "attn_bias": jnp.zeros((heads, (2 * ws - 1) ** 2), dtype),
+            },
+            "local_conv": dwconv(c),
+            "ln2": ln(c),
+            "mlp1_w": m1w, "mlp1_b": m1b,
+            "mlp2_w": m2w, "mlp2_b": m2b,
+        }
+
+    oc = cfg.output_channels
+    return {
+        "stem1": conv(3, d0 // 2, 3),
+        "stem2": conv(d0 // 2, d0, 3),
+        "stage0": [mbconv(d0) for _ in range(cfg.depths[0])],
+        "merge0": merge(d0, d1),
+        "stage1": [block(d1, cfg.num_heads[1], cfg.window_sizes[1]) for _ in range(cfg.depths[1])],
+        "merge1": merge(d1, d2),
+        "stage2": [block(d2, cfg.num_heads[2], cfg.window_sizes[2]) for _ in range(cfg.depths[2])],
+        "merge2": merge(d2, d3),
+        "stage3": [block(d3, cfg.num_heads[3], cfg.window_sizes[3]) for _ in range(cfg.depths[3])],
+        "neck": {
+            "conv1_w": jnp.asarray(nrng.normal(0, 0.02, (d3, oc)), dtype=dtype),
+            "ln1": ln(oc),
+            "conv2_w": jnp.asarray(nrng.normal(0, 0.02, (3, 3, oc, oc)), dtype=dtype),
+            "ln2": ln(oc),
+        },
+    }

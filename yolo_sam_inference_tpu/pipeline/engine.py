@@ -81,7 +81,12 @@ SAM_CONFIGS = {
     "vit-base": sam_vit_b,
     "vit-large": sam_vit_l,
     "vit-huge": sam_vit_h,
+    # MobileSAM: TinyViT-5M encoder + the standard SAM prompt/mask decoder
+    "mobile-sam": sam_vit_b,
+    "tinyvit": sam_vit_b,
 }
+
+TINYVIT_TYPES = ("mobile-sam", "tinyvit")
 
 INT_METRIC_KEYS = (
     "area",
@@ -163,19 +168,32 @@ def detect_stage(
     return boxes, scores, valid
 
 
+def _cast_floating(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 def embed_stage(
     sam_params, images_u8: jnp.ndarray, scfg: SamTPUConfig, opts: PipelineOptions
 ):
     """uint8 (B, H, W, 3) -> SAM image embeddings (B, gs, gs, C)."""
     pix, _, _ = sam_preprocess_batch(images_u8, scfg.image_size)
     pix = pix.astype(opts.compute_dtype)
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(opts.compute_dtype)
-        if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating)
-        else x,
-        sam_params["vision"],
-    )
-    emb = sam_image_encoder({"vision": params}, pix, scfg)
+    if "tinyvit" in sam_params:
+        from ..models.sam.tinyvit import TinyViTConfig, tinyvit_encoder
+
+        tcfg = TinyViTConfig(
+            image_size=scfg.image_size, output_channels=scfg.output_channels
+        )
+        params = _cast_floating(sam_params["tinyvit"], opts.compute_dtype)
+        emb = tinyvit_encoder(params, pix, tcfg)
+    else:
+        params = _cast_floating(sam_params["vision"], opts.compute_dtype)
+        emb = sam_image_encoder({"vision": params}, pix, scfg)
     return emb.astype(jnp.float32)
 
 
@@ -330,6 +348,16 @@ class CellSegmentationPipeline:
             if sam_ckpt:
                 logger.warning("SAM checkpoint %s not found; using random init", sam_ckpt)
             self.sam_params = init_sam_params(rs, self.sam_config)
+        if self.sam_model_type in TINYVIT_TYPES and "tinyvit" not in self.sam_params:
+            from ..models.sam.tinyvit import TinyViTConfig, init_tinyvit_params
+
+            tcfg = TinyViTConfig(
+                image_size=self.sam_config.image_size,
+                output_channels=self.sam_config.output_channels,
+            )
+            self.sam_params = dict(self.sam_params)
+            self.sam_params["tinyvit"] = init_tinyvit_params(seed + 1, tcfg)
+            self.sam_params.pop("vision", None)  # ViT encoder replaced
 
     @staticmethod
     def _generate_run_id() -> str:
@@ -340,7 +368,8 @@ class CellSegmentationPipeline:
     def _sam_params_for(self, scfg: SamTPUConfig):
         """Resolution-adapted SAM params (cached per encoder size)."""
         size = scfg.image_size
-        if size == self.sam_config.image_size:
+        if size == self.sam_config.image_size or "vision" not in self.sam_params:
+            # TinyViT has no resolution-dependent weights (windowed biases only)
             return self.sam_params
         if not hasattr(self, "_adapted_params"):
             self._adapted_params = {}
