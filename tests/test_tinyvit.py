@@ -53,9 +53,11 @@ def test_mobile_sam_engine_integration():
 
     import dataclasses
 
+    # TinyViT always emits an S/16 grid, so the decoder config must use
+    # patch_size 16 (the tiny ViT test config uses 8)
     pipe = CellSegmentationPipeline(
         sam_model_type="mobile-sam",
-        sam_config=dataclasses.replace(sam_tiny_test(), image_size=64),
+        sam_config=dataclasses.replace(sam_tiny_test(), image_size=64, patch_size=16),
         yolo_config=YoloConfig(num_classes=1),
         options=PipelineOptions(
             batch_size=1, max_det=4, metric_crop=48, yolo_size=64,
