@@ -40,6 +40,11 @@ def parse_args(argv=None):
     p.add_argument("--interactive-roi", action="store_true",
                    help="launch the browser ROI picker")
     p.add_argument("--port", type=int, default=9487)
+    p.add_argument("--log-to-mlflow", action="store_true",
+                   help="track params/metrics/artifacts in MLflow (if installed)")
+    p.add_argument("--experiment-name", type=str, default="yolo_sam_inference_tpu")
+    p.add_argument("--profile-dir", type=Path, default=None,
+                   help="write a jax.profiler trace of the run to this directory")
     return p.parse_args(argv)
 
 
@@ -92,7 +97,16 @@ def main(argv=None) -> int:
     from ..gate.filter import filter_cells_by_roi, save_roi_coordinates
     from ..pipeline.engine import ParallelCellSegmentationPipeline, PipelineOptions
     from ..pipeline.results import BatchProcessingResult, initialize_timing_dict
+    from ..registry.tracking import collect_run_metrics, tracked_run
     from ..reporting import print_summary, save_results_to_csv, save_run_summary
+
+    profiler = None
+    if args.profile_dir is not None:
+        import jax
+
+        args.profile_dir.mkdir(parents=True, exist_ok=True)
+        jax.profiler.start_trace(str(args.profile_dir))
+        profiler = jax
 
     t_start = time.time()
     project_dir = args.project_dir
@@ -180,6 +194,29 @@ def main(argv=None) -> int:
     runtime = time.time() - t_start
     save_run_summary(combined, project_dir, run_dir, pipeline.run_id, runtime)
     print_summary(combined, runtime)
+
+    if profiler is not None:
+        profiler.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile_dir}")
+
+    if args.log_to_mlflow:
+        gated_count = None
+        if (run_dir / "gated_cell_metrics.csv").exists():
+            gated_count = len(pd.read_csv(run_dir / "gated_cell_metrics.csv"))
+        with tracked_run(args.experiment_name, run_name=pipeline.run_id) as tracker:
+            tracker.log_params(
+                {
+                    "project_dir": str(project_dir),
+                    "sam_model": args.sam_model,
+                    "yolo_model": args.yolo_model,
+                    "batch_size": args.batch_size,
+                    "max_det": args.max_det,
+                    "conditions": ",".join(condition_names),
+                }
+            )
+            tracker.log_metrics(collect_run_metrics(combined, gated_count))
+            tracker.log_run_outputs(run_dir)
+
     print(f"\nResults written to {run_dir}")
     return 0
 

@@ -122,11 +122,15 @@ def _vision_attention(
         )
         out = out.reshape(b, heads, s * s, hd)
     else:
+        # materialized logits follow the activation dtype: bf16 halves the
+        # HBM traffic of the windowed layers in production while fp32 inputs
+        # (parity tests) keep exact numerics. Accumulation stays fp32.
         logits = jnp.einsum(
             "bhqc,bhkc->bhqk", q * (hd**-0.5), k, preferred_element_type=jnp.float32
-        )
+        ).astype(x.dtype)
         if use_rel_pos:
-            logits = logits + _vision_rel_bias(q, p["rel_pos_h"], p["rel_pos_w"], s)
+            bias = _vision_rel_bias(q, p["rel_pos_h"], p["rel_pos_w"], s)
+            logits = logits + bias.astype(x.dtype)
         attn = _softmax_fp32(logits).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
 
@@ -358,7 +362,11 @@ def sam_mask_decoder(
     img_tokens = img.reshape(b, 1, gs * gs, c)
     img_tokens = jnp.broadcast_to(img_tokens, (b, k, gs * gs, c)).reshape(b * k, gs * gs, c)
 
-    img_pe = image_wide_positional_embedding(params, cfg).reshape(1, gs * gs, c)
+    img_pe = (
+        image_wide_positional_embedding(params, cfg)
+        .reshape(1, gs * gs, c)
+        .astype(image_embeddings.dtype)  # avoid fp32 promotion of the token stream
+    )
 
     output_tokens = jnp.concatenate([dp["iou_token"], dp["mask_tokens"]], axis=0)
     num_out = output_tokens.shape[0]

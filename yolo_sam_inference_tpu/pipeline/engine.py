@@ -250,11 +250,21 @@ def segment_stage(
     sam_scale = scfg.image_size / max(h, w)
 
     sam_boxes = boxes * sam_scale
-    sparse = sam_prompt_boxes(sam_params, sam_boxes, scfg)
+    # decoder runs in compute_dtype (bf16 on TPU): the per-prompt image-token
+    # streams are the traffic hog; LNs/softmax stay fp32 inside
+    dec_params = {
+        k2: (_cast_floating(v2, opts.compute_dtype) if k2 in ("decoder",) else v2)
+        for k2, v2 in sam_params.items()
+    }
+    sparse = sam_prompt_boxes(dec_params, sam_boxes, scfg).astype(opts.compute_dtype)
     low_masks, _ = sam_mask_decoder(
-        sam_params, embeddings, sparse, scfg, multimask_output=False
-    )  # (B, K, 1, 4gs, 4gs) logits
-    low_masks = low_masks[:, :, 0]
+        dec_params,
+        embeddings.astype(opts.compute_dtype),
+        sparse,
+        scfg,
+        multimask_output=False,
+    )  # (B, K, 1, 4gs, 4gs) logits (fp32 from the hypernetwork matmul)
+    low_masks = low_masks[:, :, 0].astype(jnp.float32)
 
     cx = (boxes[..., 0] + boxes[..., 2]) * 0.5
     cy = (boxes[..., 1] + boxes[..., 3]) * 0.5
