@@ -216,6 +216,13 @@ def main(argv=None) -> int:
             )
             tracker.log_metrics(collect_run_metrics(combined, gated_count))
             tracker.log_run_outputs(run_dir)
+            if all_metrics and tracker.enabled:
+                from ..registry.tracking import create_summary_figures
+
+                for fig in create_summary_figures(
+                    pd.DataFrame(all_metrics), run_dir / "figures"
+                ):
+                    tracker.log_artifact(fig)
 
     print(f"\nResults written to {run_dir}")
     return 0

@@ -598,8 +598,23 @@ class CellSegmentationPipeline:
 
         from .loader import batched_image_loader
 
+        # per-run config snapshot (SURVEY §5.6: the reference snapshotted
+        # params to pipeline_parameters.json per run)
+        import dataclasses as _dc
+        import json as _json
+
+        with open(output_dir / "pipeline_parameters.json", "w") as f:
+            snap = {
+                k: (str(v) if not isinstance(v, (int, float, bool, type(None))) else v)
+                for k, v in _dc.asdict(self.options).items()
+            }
+            snap.update({"sam_model_type": self.sam_model_type, "run_id": self.run_id})
+            _json.dump(snap, f, indent=2)
+
         bsz = self.options.batch_size
-        for batch_imgs, batch_paths, n_valid, load_s in batched_image_loader(files, bsz):
+        for batch_imgs, batch_paths, n_valid, load_s in batched_image_loader(
+            files, bsz, skipped_report=output_dir / "skipped_images.txt"
+        ):
             timings: Dict[str, float] = {"image_load": load_s}
             out = self.process_batch_arrays(batch_imgs, timings)
             batch_results = self._results_from_outputs(out, batch_paths, n_valid)

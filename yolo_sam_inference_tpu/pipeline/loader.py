@@ -13,7 +13,7 @@ from __future__ import annotations
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -27,26 +27,36 @@ def batched_image_loader(
     files: Sequence[Path],
     batch_size: int,
     num_workers: int = 8,
+    skipped_report: "Optional[Path]" = None,
 ) -> Iterator[Tuple[np.ndarray, List[Path], int, float]]:
     """Yield (batch (B, H, W, 3) uint8, paths, n_valid, load_seconds).
 
     Images are decoded concurrently and grouped by (H, W) so every yielded
     batch has a uniform static shape; the final partial batch of each group
     is padded by repeating its first image (n_valid marks the real count).
+    Corrupt/zero-byte images are skipped and, when ``skipped_report`` is
+    given, audited to a ``skipped_images.txt`` file (the reference's
+    validation behavior, ``examples/mlflow_example_project_inference.py:178-234``).
     """
     files = list(files)
     if not files:
         return
 
+    skipped: List[str] = []
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         t0 = time.time()
         loaded = []
         for path, img in zip(files, pool.map(_safe_load, files)):
-            if img is None:
+            if img is None or img.size == 0:
                 logger.warning("Skipping unreadable image: %s", path)
+                skipped.append(str(path))
                 continue
             loaded.append((path, img))
         load_total = time.time() - t0
+    if skipped and skipped_report is not None:
+        skipped_report.parent.mkdir(parents=True, exist_ok=True)
+        with open(skipped_report, "a") as f:
+            f.write("\n".join(skipped) + "\n")
 
     # group by shape, preserving order within groups
     groups: dict = {}

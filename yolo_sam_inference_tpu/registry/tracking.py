@@ -106,6 +106,54 @@ class _MlflowTracker:
                 self.log_artifact(p)
 
 
+def create_summary_figures(metrics_df, output_dir: Path) -> list:
+    """Auto-generated matplotlib summary figures (reference
+    ``create_and_log_summary_figures :608-721``): cell-area histogram,
+    per-condition count bars, area-vs-circularity scatter. Returns paths."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    paths = []
+
+    if "area" in metrics_df:
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.hist(metrics_df["area"], bins=50)
+        ax.set_xlabel("cell area (px)")
+        ax.set_ylabel("count")
+        ax.set_title("Cell area distribution")
+        p = output_dir / "area_histogram.png"
+        fig.savefig(p, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(p)
+
+    if "condition" in metrics_df:
+        counts = metrics_df.groupby("condition").size()
+        fig, ax = plt.subplots(figsize=(6, 4))
+        counts.plot.bar(ax=ax)
+        ax.set_ylabel("cells")
+        ax.set_title("Cells per condition")
+        p = output_dir / "condition_counts.png"
+        fig.savefig(p, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(p)
+
+    if {"area", "circularity"} <= set(metrics_df.columns):
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.scatter(metrics_df["area"], metrics_df["circularity"], s=4, alpha=0.4)
+        ax.set_xlabel("area")
+        ax.set_ylabel("circularity")
+        ax.set_title("Area vs circularity")
+        p = output_dir / "area_vs_circularity.png"
+        fig.savefig(p, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(p)
+    return paths
+
+
 def collect_run_metrics(batch_result, gated_count: Optional[int] = None) -> Dict[str, float]:
     """Timing + count metrics from a BatchProcessingResult (``:899-916``)."""
     tt = batch_result.total_timing
