@@ -22,6 +22,8 @@ SAM_STD = (58.395, 57.12, 57.375)
 
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Bilinear resize (align_corners=False / half-pixel centers), NHWC float."""
+    if img.shape[-3] == out_h and img.shape[-2] == out_w:
+        return img  # identity resizes still build costly gather graphs
     return jax.image.resize(
         img, img.shape[:-3] + (out_h, out_w, img.shape[-1]), method="bilinear"
     )
