@@ -147,7 +147,9 @@ def detect_stage(
     """uint8 (B, H, W, 3) -> boxes xyxy in original pixels, scores, valid."""
     ysize = opts.yolo_size_for(images_u8.shape[1], images_u8.shape[2])
     lb, scale, (pad_x, pad_y) = letterbox_batch(images_u8, ysize)
-    outs = yolo_forward(yolo_params, lb, ycfg)
+    # conv stack in compute_dtype (bf16); decode/NMS stay fp32
+    yolo_params = _cast_floating(yolo_params, opts.compute_dtype)
+    outs = yolo_forward(yolo_params, lb.astype(opts.compute_dtype), ycfg)
     boxes, scores = decode_predictions(outs, ycfg)
     scores = scores.max(axis=-1)  # single-class cell detector
     boxes, scores, valid = batched_nms(
