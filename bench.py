@@ -48,14 +48,20 @@ def main() -> None:
     imgs = imgs.astype(np.uint8)
     dev_imgs = jnp.asarray(imgs)
 
+    def sync(out):
+        # a tiny device->host transfer is the only reliable sync primitive on
+        # the tunneled backend (block_until_ready can be a no-op there)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.reshape(-1)[0])
+
     # compile + warmup
     out = pipe.fused_call(dev_imgs)
-    jax.block_until_ready(out)
+    sync(out)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = pipe.fused_call(dev_imgs)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

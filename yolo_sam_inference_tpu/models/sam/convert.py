@@ -171,9 +171,9 @@ def adapt_resolution(params: Dict[str, Any], cfg_to: SamTPUConfig) -> Dict[str, 
             pos, (1, gs_to, gs_to, pos.shape[-1]), method="bilinear"
         )
 
-    def interp_rel(table):
+    def interp_rel(table, size):
         table = jnp.asarray(table)
-        length = 2 * gs_to - 1
+        length = 2 * size - 1
         if table.shape[0] == length:
             return table
         # linear interpolation along the first axis (F.interpolate 'linear')
@@ -181,11 +181,16 @@ def adapt_resolution(params: Dict[str, Any], cfg_to: SamTPUConfig) -> Dict[str, 
 
     layers = []
     for i, lp in enumerate(vision["layers"]):
-        if i in cfg_to.global_attn_indexes:
+        # global layers follow the token grid; windowed layers follow the
+        # (possibly re-chosen) window size — e.g. window 16 instead of 14
+        # removes ALL window padding when the grid is a multiple of 16
+        size = gs_to if i in cfg_to.global_attn_indexes else cfg_to.window_size
+        attn = dict(lp["attn"])
+        if attn["rel_pos_h"].shape[0] != 2 * size - 1:
+            attn = dict(attn)
+            attn["rel_pos_h"] = interp_rel(attn["rel_pos_h"], size)
+            attn["rel_pos_w"] = interp_rel(attn["rel_pos_w"], size)
             lp = dict(lp)
-            attn = dict(lp["attn"])
-            attn["rel_pos_h"] = interp_rel(attn["rel_pos_h"])
-            attn["rel_pos_w"] = interp_rel(attn["rel_pos_w"])
             lp["attn"] = attn
         layers.append(lp)
     vision["layers"] = layers

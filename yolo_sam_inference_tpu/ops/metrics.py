@@ -96,34 +96,46 @@ def perimeter_4n(mask: jnp.ndarray) -> jnp.ndarray:
 
     Matches ``skimage.measure.perimeter(mask, neighborhood=4)`` (which is what
     ``regionprops.perimeter`` computes, used at reference ``utils/metrics.py:65``).
+
+    Implementation notes (TPU): one zero-pad + nine static slices instead of
+    per-shift pads, and the 50-entry weight lookup expressed as comparisons
+    (element gathers are very slow on TPU vector units — the take() version
+    dominated the whole metrics stage).
     """
     m = mask.astype(jnp.float32)
+    h, w = m.shape[-2], m.shape[-1]
+    pad = [(0, 0)] * (m.ndim - 2) + [(1, 1), (1, 1)]
+    mp = jnp.pad(m, pad)
+
+    def sl(dr, dc):
+        return mp[..., 1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+
     # binary erosion with the 4-connected cross, border_value=0
-    eroded = (
-        m
-        * _shift2d(m, 1, 0)
-        * _shift2d(m, -1, 0)
-        * _shift2d(m, 0, 1)
-        * _shift2d(m, 0, -1)
-    )
+    eroded = m * sl(-1, 0) * sl(1, 0) * sl(0, -1) * sl(0, 1)
     border = m - eroded  # 0/1
+
+    bp = jnp.pad(border, pad)
+
+    def bl(dr, dc):
+        return bp[..., 1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+
     # convolution with [[10,2,10],[2,1,2],[10,2,10]] (symmetric kernel)
-    diag = (
-        _shift2d(border, 1, 1)
-        + _shift2d(border, 1, -1)
-        + _shift2d(border, -1, 1)
-        + _shift2d(border, -1, -1)
+    diag = bl(-1, -1) + bl(-1, 1) + bl(1, -1) + bl(1, 1)
+    orth = bl(-1, 0) + bl(1, 0) + bl(0, -1) + bl(0, 1)
+    code = 10.0 * diag + 2.0 * orth + border
+
+    sqrt2 = math.sqrt(2.0)
+    w1 = (
+        (code == 5.0) | (code == 7.0) | (code == 15.0)
+        | (code == 17.0) | (code == 25.0) | (code == 27.0)
     )
-    orth = (
-        _shift2d(border, 1, 0)
-        + _shift2d(border, -1, 0)
-        + _shift2d(border, 0, 1)
-        + _shift2d(border, 0, -1)
-    )
-    code = (10.0 * diag + 2.0 * orth + border).astype(jnp.int32)
-    weights = jnp.asarray(_PERIM_WEIGHTS)
-    # only border pixels have odd codes; zero elsewhere via border multiply
-    per_pixel = jnp.take(weights, jnp.clip(code, 0, 49)) * border
+    w2 = (code == 21.0) | (code == 33.0)
+    w3 = (code == 13.0) | (code == 23.0)
+    per_pixel = (
+        w1.astype(jnp.float32)
+        + w2.astype(jnp.float32) * sqrt2
+        + w3.astype(jnp.float32) * ((1.0 + sqrt2) / 2.0)
+    ) * border
     return per_pixel.sum(axis=(-2, -1))
 
 

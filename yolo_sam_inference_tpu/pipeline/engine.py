@@ -379,17 +379,18 @@ class CellSegmentationPipeline:
 
     def _sam_params_for(self, scfg: SamTPUConfig):
         """Resolution-adapted SAM params (cached per encoder size)."""
-        size = scfg.image_size
-        if size == self.sam_config.image_size or "vision" not in self.sam_params:
+        key = (scfg.image_size, scfg.window_size)
+        base = (self.sam_config.image_size, self.sam_config.window_size)
+        if key == base or "vision" not in self.sam_params:
             # TinyViT has no resolution-dependent weights (windowed biases only)
             return self.sam_params
         if not hasattr(self, "_adapted_params"):
             self._adapted_params = {}
-        if size not in self._adapted_params:
+        if key not in self._adapted_params:
             from ..models.sam.convert import adapt_resolution
 
-            self._adapted_params[size] = adapt_resolution(self.sam_params, scfg)
-        return self._adapted_params[size]
+            self._adapted_params[key] = adapt_resolution(self.sam_params, scfg)
+        return self._adapted_params[key]
 
     def _stages(self, h: int, w: int):
         """jitted stage functions specialized for image shape (h, w)."""
@@ -399,7 +400,11 @@ class CellSegmentationPipeline:
 
             opts, ycfg = self.options, self.yolo_config
             enc_size = opts.encoder_size_for(h, w)
-            scfg = _dc.replace(self.sam_config, image_size=enc_size)
+            gs = enc_size // self.sam_config.patch_size
+            # window 16 divides every grid in the auto ladder -> zero window
+            # padding (window 14 pads 32->42 / 64->70: up to 72% extra work)
+            ws = 16 if gs % 16 == 0 else self.sam_config.window_size
+            scfg = _dc.replace(self.sam_config, image_size=enc_size, window_size=ws)
             sam_params = self._sam_params_for(scfg)
 
             detect = jax.jit(
