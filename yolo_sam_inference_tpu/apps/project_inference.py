@@ -131,6 +131,19 @@ def main(argv=None) -> int:
     run_dir = Path(args.output_dir) / pipeline.run_id
     run_dir.mkdir(parents=True, exist_ok=True)
     save_roi_coordinates(rois, run_dir / "roi_coordinates.json")
+    import dataclasses as _dc
+
+    with open(run_dir / "pipeline_parameters.json", "w") as f:
+        json.dump(
+            {
+                **{k: str(v) if not isinstance(v, (int, float, bool, type(None))) else v
+                   for k, v in _dc.asdict(pipeline.options).items()},
+                "sam_model_type": pipeline.sam_model_type,
+                "run_id": pipeline.run_id,
+            },
+            f,
+            indent=2,
+        )
 
     all_results, all_metrics, all_timing = [], [], []
     total_timing = initialize_timing_dict()
