@@ -25,15 +25,16 @@ def main() -> None:
         PipelineOptions,
     )
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     max_det = int(os.environ.get("BENCH_MAX_DET", "16"))
+    # BASELINE.json configs: facebook/sam-vit-base (default), mobile-sam
+    # (latency swap), facebook/sam-vit-large (multi-box), facebook/sam-vit-huge
+    sam_model = os.environ.get("BENCH_SAM", "facebook/sam-vit-base")
 
     opts = PipelineOptions(batch_size=batch, max_det=max_det, metric_crop=128)
-    pipe = CellSegmentationPipeline(
-        sam_model_type="facebook/sam-vit-base", options=opts
-    )
+    pipe = CellSegmentationPipeline(sam_model_type=sam_model, options=opts)
 
     rng = np.random.default_rng(0)
     # synthetic microscopy-like frames: bright blobs on dark background
@@ -65,10 +66,12 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt
+    label = {"facebook/sam-vit-base": "SAM-ViT-B", "facebook/sam-vit-large": "SAM-ViT-L",
+             "facebook/sam-vit-huge": "SAM-ViT-H", "mobile-sam": "MobileSAM"}.get(sam_model, sam_model)
     print(
         json.dumps(
             {
-                "metric": "end-to-end images/sec/chip (YOLOv8n+SAM-ViT-B+metrics, 512x512)",
+                "metric": f"end-to-end images/sec/chip (YOLOv8n+{label}+metrics, {size}x{size})",
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / 500.0, 4),

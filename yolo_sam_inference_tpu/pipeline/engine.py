@@ -30,6 +30,7 @@ functional for throughput/e2e work and unit parity is covered in tests.
 from __future__ import annotations
 
 import functools
+import math
 import time
 import uuid
 from dataclasses import dataclass
@@ -207,31 +208,35 @@ def _bilinear_crop_sample(
     lowres: (L, L) logits covering the SAM square input. Original pixel
     (r, c) maps to low-res coords ((r + 0.5) * s - 0.5) with
     s = scale_to_low = (sam_size / max(H, W)) / 4.
+
+    Gather-free: dynamic_slice the cell's low-res window (fast on TPU), then
+    apply separable hat-function interpolation matrices built on the fly —
+    two small matmuls per cell instead of six gathers (element gathers are
+    pathologically slow on the TPU vector units).
     """
     L = lowres.shape[-1]
+    win = min(L, int(math.ceil(crop * scale_to_low)) + 2)
     idx = jnp.arange(crop, dtype=jnp.float32)
-    rows = offset_rc[0].astype(jnp.float32) + idx
-    cols = offset_rc[1].astype(jnp.float32) + idx
-    ly = (rows + 0.5) * scale_to_low - 0.5
-    lx = (cols + 0.5) * scale_to_low - 0.5
-    y0 = jnp.clip(jnp.floor(ly), 0, L - 1)
-    x0 = jnp.clip(jnp.floor(lx), 0, L - 1)
-    wy = jnp.clip(ly - y0, 0.0, 1.0)
-    wx = jnp.clip(lx - x0, 0.0, 1.0)
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-    y1i = jnp.minimum(y0i + 1, L - 1)
-    x1i = jnp.minimum(x0i + 1, L - 1)
+    ly = (offset_rc[0].astype(jnp.float32) + idx + 0.5) * scale_to_low - 0.5
+    lx = (offset_rc[1].astype(jnp.float32) + idx + 0.5) * scale_to_low - 0.5
+    ly = jnp.clip(ly, 0.0, L - 1.0)
+    lx = jnp.clip(lx, 0.0, L - 1.0)
 
-    r0 = jnp.take(lowres, y0i, axis=0)  # (crop, L)
-    r1 = jnp.take(lowres, y1i, axis=0)
-    v00 = jnp.take(r0, x0i, axis=1)  # (crop, crop)
-    v01 = jnp.take(r0, x1i, axis=1)
-    v10 = jnp.take(r1, x0i, axis=1)
-    v11 = jnp.take(r1, x1i, axis=1)
-    top = v00 * (1 - wx)[None, :] + v01 * wx[None, :]
-    bot = v10 * (1 - wx)[None, :] + v11 * wx[None, :]
-    return top * (1 - wy)[:, None] + bot * wy[:, None]
+    y_start = jnp.clip(jnp.floor(ly[0]).astype(jnp.int32), 0, L - win)
+    x_start = jnp.clip(jnp.floor(lx[0]).astype(jnp.int32), 0, L - win)
+    window = jax.lax.dynamic_slice(lowres, (y_start, x_start), (win, win))
+
+    j = jnp.arange(win, dtype=jnp.float32)
+    # hat-function weights: P[i, j] = max(0, 1 - |l_i - (start + j)|)
+    py = jnp.maximum(
+        0.0, 1.0 - jnp.abs(ly[:, None] - (y_start.astype(jnp.float32) + j[None, :]))
+    )  # (crop, win)
+    px = jnp.maximum(
+        0.0, 1.0 - jnp.abs(lx[:, None] - (x_start.astype(jnp.float32) + j[None, :]))
+    )
+    return jnp.einsum(
+        "iw,wv,jv->ij", py, window, px, preferred_element_type=jnp.float32
+    )
 
 
 def segment_stage(
