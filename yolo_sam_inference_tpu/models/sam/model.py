@@ -175,23 +175,43 @@ def sam_image_encoder(
     x = x + p["pos_embed"]
 
     s = cfg.grid_size
+    ws = cfg.window_size
+    # When the window divides the grid (always true for the window-16
+    # adaptation), LN/MLP/residentials are layout-agnostic, so activations
+    # can STAY window-partitioned across consecutive windowed layers —
+    # eliminating two big relayout transposes per layer (a major HBM-copy
+    # cost in the profile). With nonzero padding this would leak padded
+    # state across layers, so it only engages when s % ws == 0.
+    persistent = s % ws == 0
+    parted = False
     for i in range(cfg.vision_layers):
         lp = p["layers"][i]
         is_global = i in cfg.global_attn_indexes
+        if persistent:
+            if is_global and parted:
+                x = _window_unpartition(x, ws, s, s)
+                parted = False
+            elif not is_global and not parted:
+                x, _ = _window_partition(x, ws)
+                parted = True
         shortcut = x
         h = _layer_norm(lp["ln1"], x, cfg.layer_norm_eps)
         if is_global:
             h = _vision_attention(lp["attn"], h, cfg.vision_heads, cfg.use_rel_pos)
+        elif persistent:
+            h = _vision_attention(lp["attn"], h, cfg.vision_heads, cfg.use_rel_pos)
         else:
-            win, padded = _window_partition(h, cfg.window_size)
+            win, padded = _window_partition(h, ws)
             win = _vision_attention(lp["attn"], win, cfg.vision_heads, cfg.use_rel_pos)
-            h = _window_unpartition(win, cfg.window_size, padded, s)
+            h = _window_unpartition(win, ws, padded, s)
         x = shortcut + h
         h = _layer_norm(lp["ln2"], x, cfg.layer_norm_eps)
         h = _linear(lp["mlp1"], h)
         h = _gelu(h)
         h = _linear(lp["mlp2"], h)
         x = x + h
+    if persistent and parted:
+        x = _window_unpartition(x, ws, s, s)
 
     # neck: 1x1 conv -> LN -> 3x3 conv -> LN (channels-last)
     n = p["neck"]

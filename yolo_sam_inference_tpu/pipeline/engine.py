@@ -148,8 +148,8 @@ def detect_stage(
     """uint8 (B, H, W, 3) -> boxes xyxy in original pixels, scores, valid."""
     ysize = opts.yolo_size_for(images_u8.shape[1], images_u8.shape[2])
     lb, scale, (pad_x, pad_y) = letterbox_batch(images_u8, ysize)
-    # conv stack in compute_dtype (bf16); decode/NMS stay fp32
-    yolo_params = _cast_floating(yolo_params, opts.compute_dtype)
+    # params arrive pre-cast to compute_dtype (once, outside jit);
+    # decode/NMS stay fp32
     outs = yolo_forward(yolo_params, lb.astype(opts.compute_dtype), ycfg)
     boxes, scores = decode_predictions(outs, ycfg)
     scores = scores.max(axis=-1)  # single-class cell detector
@@ -192,11 +192,9 @@ def embed_stage(
         tcfg = TinyViTConfig(
             image_size=scfg.image_size, output_channels=scfg.output_channels
         )
-        params = _cast_floating(sam_params["tinyvit"], opts.compute_dtype)
-        emb = tinyvit_encoder(params, pix, tcfg)
+        emb = tinyvit_encoder(sam_params["tinyvit"], pix, tcfg)
     else:
-        params = _cast_floating(sam_params["vision"], opts.compute_dtype)
-        emb = sam_image_encoder({"vision": params}, pix, scfg)
+        emb = sam_image_encoder({"vision": sam_params["vision"]}, pix, scfg)
     return emb.astype(jnp.float32)
 
 
@@ -257,15 +255,11 @@ def segment_stage(
     sam_scale = scfg.image_size / max(h, w)
 
     sam_boxes = boxes * sam_scale
-    # decoder runs in compute_dtype (bf16 on TPU): the per-prompt image-token
-    # streams are the traffic hog; LNs/softmax stay fp32 inside
-    dec_params = {
-        k2: (_cast_floating(v2, opts.compute_dtype) if k2 in ("decoder",) else v2)
-        for k2, v2 in sam_params.items()
-    }
-    sparse = sam_prompt_boxes(dec_params, sam_boxes, scfg).astype(opts.compute_dtype)
+    # params arrive pre-cast; decoder activations run in compute_dtype with
+    # fp32 LN/softmax inside
+    sparse = sam_prompt_boxes(sam_params, sam_boxes, scfg).astype(opts.compute_dtype)
     low_masks, _ = sam_mask_decoder(
-        dec_params,
+        sam_params,
         embeddings.astype(opts.compute_dtype),
         sparse,
         scfg,
@@ -410,7 +404,10 @@ class CellSegmentationPipeline:
             # padding (window 14 pads 32->42 / 64->70: up to 72% extra work)
             ws = 16 if gs % 16 == 0 else self.sam_config.window_size
             scfg = _dc.replace(self.sam_config, image_size=enc_size, window_size=ws)
-            sam_params = self._sam_params_for(scfg)
+            # cast once OUTSIDE jit: per-call f32->bf16 converts of ~90M
+            # params showed up as real per-iteration work in the profile
+            sam_params = _cast_floating(self._sam_params_for(scfg), opts.compute_dtype)
+            yolo_params_c = _cast_floating(self.yolo_params, opts.compute_dtype)
 
             detect = jax.jit(
                 lambda yp, img: detect_stage(yp, img, ycfg, opts)
@@ -440,6 +437,7 @@ class CellSegmentationPipeline:
                 "metrics": metrics,
                 "fused": jax.jit(fused),
                 "sam_params": sam_params,
+                "yolo_params": yolo_params_c,
             }
         return self._stage_cache[key]
 
@@ -467,7 +465,7 @@ class CellSegmentationPipeline:
             return out
 
         dev_images = jnp.asarray(images)
-        boxes, scores, valid = timed("yolo_detection", st["detect"], self.yolo_params, dev_images)
+        boxes, scores, valid = timed("yolo_detection", st["detect"], st["yolo_params"], dev_images)
         emb = timed("sam_preprocess", st["embed"], st["sam_params"], dev_images)
         crops, offs = timed(
             "sam_inference_total", st["segment"], st["sam_params"], emb, boxes, valid
@@ -489,7 +487,7 @@ class CellSegmentationPipeline:
         (for detection-only tools like the frame cleaner)."""
         b, h, w, _ = images.shape
         st = self._stages(h, w)
-        boxes, scores, valid = st["detect"](self.yolo_params, jnp.asarray(images))
+        boxes, scores, valid = st["detect"](st["yolo_params"], jnp.asarray(images))
         return {
             "boxes": np.asarray(boxes),
             "scores": np.asarray(scores),
@@ -500,7 +498,7 @@ class CellSegmentationPipeline:
         """Single-program execution (maximum throughput; used by bench)."""
         b, h, w, _ = images.shape
         st = self._stages(h, w)
-        return st["fused"](self.yolo_params, st["sam_params"], images)
+        return st["fused"](st["yolo_params"], st["sam_params"], images)
 
     # -- host-level helpers -----------------------------------------------------
 
