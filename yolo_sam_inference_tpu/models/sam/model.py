@@ -351,25 +351,19 @@ def _conv_transpose_2x(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.nd
     return y + b
 
 
-def sam_mask_decoder(
+def sam_mask_decoder_tokens(
     params: Params,
     image_embeddings: jnp.ndarray,
     sparse_prompts: jnp.ndarray,
     cfg: SamTPUConfig,
     dense_prompts: Optional[jnp.ndarray] = None,
-    multimask_output: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Two-way transformer mask decoder, batched over prompts.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-way transformer up to (but excluding) the mask upscaling.
 
-    Args:
-        image_embeddings: (B, gs, gs, C) from :func:`sam_image_encoder`.
-        sparse_prompts: (B, K, P, C) prompt tokens (P=2 for boxes).
-        dense_prompts: optional (B or 1, gs, gs, C); defaults to no-mask embed.
-        multimask_output: if True return 3 masks/prompt else 1 (reference uses
-            False: ``pipeline.py:109``).
-
-    Returns:
-        (low_res_masks (B, K, M, 4*gs, 4*gs), iou_scores (B, K, M)).
+    Returns (iou (B, K, M), hyper (B*K, M, C/8), keys_grid (B*K, gs, gs, C)).
+    The caller applies :func:`sam_mask_head` on the full grid (reference
+    semantics) or on per-prompt windows (the pipeline's fast path — each cell
+    only needs its own neighborhood, not the full frame per prompt).
     """
     dp = params["decoder"]
     b, gs, _, c = image_embeddings.shape
@@ -433,13 +427,6 @@ def sam_mask_decoder(
     iou_token_out = queries[:, 0, :]
     mask_tokens_out = queries[:, 1 : 1 + cfg.num_mask_tokens, :]
 
-    # upscale image tokens 4x
-    up = keys.reshape(b * k, gs, gs, c)
-    up = _conv_transpose_2x(up, dp["up1_w"], dp["up1_b"])
-    up = _gelu(_layer_norm(dp["up_ln"], up, 1e-6))
-    up = _gelu(_conv_transpose_2x(up, dp["up2_w"], dp["up2_b"]))
-    hw4 = gs * 4
-
     hyper = jnp.stack(
         [
             _feed_forward(dp["hyper_mlps"][i], mask_tokens_out[:, i, :])
@@ -447,13 +434,59 @@ def sam_mask_decoder(
         ],
         axis=1,
     )  # (B*K, M, C/8)
-    masks = jnp.einsum(
-        "nmc,npc->nmp", hyper, up.reshape(b * k, hw4 * hw4, -1),
-        preferred_element_type=jnp.float32,
-    ).reshape(b, k, cfg.num_mask_tokens, hw4, hw4)
-
     iou = _feed_forward(dp["iou_head"], iou_token_out).reshape(b, k, cfg.num_mask_tokens)
+    keys_grid = keys.reshape(b * k, gs, gs, c)
+    return iou, hyper, keys_grid
 
+
+def sam_mask_head(
+    params: Params, keys_grid: jnp.ndarray, hyper: jnp.ndarray
+) -> jnp.ndarray:
+    """Upscale image tokens 4x and project with the hypernetwork outputs.
+
+    keys_grid: (N, g, g, C) — the full grid or per-prompt windows of it.
+    hyper: (N, M, C/8). Returns logits (N, M, 4g, 4g) fp32.
+    """
+    dp = params["decoder"]
+    n, g, _, c = keys_grid.shape
+    up = _conv_transpose_2x(keys_grid, dp["up1_w"], dp["up1_b"])
+    up = _gelu(_layer_norm(dp["up_ln"], up, 1e-6))
+    up = _gelu(_conv_transpose_2x(up, dp["up2_w"], dp["up2_b"]))
+    hw4 = g * 4
+    return jnp.einsum(
+        "nmc,npc->nmp", hyper, up.reshape(n, hw4 * hw4, -1),
+        preferred_element_type=jnp.float32,
+    ).reshape(n, hyper.shape[1], hw4, hw4)
+
+
+def sam_mask_decoder(
+    params: Params,
+    image_embeddings: jnp.ndarray,
+    sparse_prompts: jnp.ndarray,
+    cfg: SamTPUConfig,
+    dense_prompts: Optional[jnp.ndarray] = None,
+    multimask_output: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-way transformer mask decoder, batched over prompts.
+
+    Args:
+        image_embeddings: (B, gs, gs, C) from :func:`sam_image_encoder`.
+        sparse_prompts: (B, K, P, C) prompt tokens (P=2 for boxes).
+        dense_prompts: optional (B or 1, gs, gs, C); defaults to no-mask embed.
+        multimask_output: if True return 3 masks/prompt else 1 (reference uses
+            False: ``pipeline.py:109``).
+
+    Returns:
+        (low_res_masks (B, K, M, 4*gs, 4*gs), iou_scores (B, K, M)).
+    """
+    b, gs = image_embeddings.shape[0], image_embeddings.shape[1]
+    k = sparse_prompts.shape[1]
+    iou, hyper, keys_grid = sam_mask_decoder_tokens(
+        params, image_embeddings, sparse_prompts, cfg, dense_prompts
+    )
+    masks = sam_mask_head(params, keys_grid, hyper).reshape(
+        b, k, cfg.num_mask_tokens, gs * 4, gs * 4
+    )
     if multimask_output:
         return masks[:, :, 1:], iou[:, :, 1:]
     return masks[:, :, :1], iou[:, :, :1]

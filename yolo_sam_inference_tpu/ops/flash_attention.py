@@ -87,11 +87,14 @@ def _flash_kernel(
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
-    p = jnp.exp(s - m_new)  # (bq, bk)
+    # the exp over the full (bq, bk) tile is the VPU hot spot: for bf16
+    # attention run it in bf16 (args are <= 0 so exp is in [0, 1] — bf16's
+    # sweet spot); row sums still accumulate in fp32
+    p = jnp.exp((s - m_new).astype(v.dtype))  # (bq, bk) in v.dtype
 
-    l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
+    l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v,  # bf16 x bf16 -> fp32 accumulate on the MXU
+        p, v,  # bf16 x bf16 -> fp32 accumulate on the MXU
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )

@@ -237,6 +237,30 @@ def _bilinear_crop_sample(
     )
 
 
+def _bilinear_crop_sample_window(
+    win_logits: jnp.ndarray,
+    offset_rc: jnp.ndarray,
+    win_low_start: jnp.ndarray,
+    crop: int,
+    scale_to_low: float,
+) -> jnp.ndarray:
+    """Like :func:`_bilinear_crop_sample`, but over a pre-sliced low-res
+    window whose global low-res origin is ``win_low_start`` (row, col)."""
+    lw = win_logits.shape[-1]
+    idx = jnp.arange(crop, dtype=jnp.float32)
+    ly = (offset_rc[0].astype(jnp.float32) + idx + 0.5) * scale_to_low - 0.5
+    lx = (offset_rc[1].astype(jnp.float32) + idx + 0.5) * scale_to_low - 0.5
+    ly = jnp.clip(ly - win_low_start[0].astype(jnp.float32), 0.0, lw - 1.0)
+    lx = jnp.clip(lx - win_low_start[1].astype(jnp.float32), 0.0, lw - 1.0)
+    j = jnp.arange(lw, dtype=jnp.float32)
+    py = jnp.maximum(0.0, 1.0 - jnp.abs(ly[:, None] - j[None, :]))  # (crop, lw)
+    px = jnp.maximum(0.0, 1.0 - jnp.abs(lx[:, None] - j[None, :]))
+    return jnp.einsum(
+        "iw,wv,jv->ij", py, win_logits.astype(jnp.float32), px,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def segment_stage(
     sam_params,
     embeddings: jnp.ndarray,
@@ -250,22 +274,22 @@ def segment_stage(
 
     Returns (mask_crops (B, K, Cm, Cm) bool, offsets (B, K, 2) int32).
     """
+    from ..models.sam.model import sam_mask_decoder_tokens, sam_mask_head
+
     h, w = image_hw
+    b, k = boxes.shape[0], boxes.shape[1]
     cm = min(opts.metric_crop, h, w)
+    gs = scfg.grid_size
     sam_scale = scfg.image_size / max(h, w)
 
     sam_boxes = boxes * sam_scale
     # params arrive pre-cast; decoder activations run in compute_dtype with
     # fp32 LN/softmax inside
     sparse = sam_prompt_boxes(sam_params, sam_boxes, scfg).astype(opts.compute_dtype)
-    low_masks, _ = sam_mask_decoder(
-        sam_params,
-        embeddings.astype(opts.compute_dtype),
-        sparse,
-        scfg,
-        multimask_output=False,
-    )  # (B, K, 1, 4gs, 4gs) logits (fp32 from the hypernetwork matmul)
-    low_masks = low_masks[:, :, 0].astype(jnp.float32)
+    iou, hyper, keys_grid = sam_mask_decoder_tokens(
+        sam_params, embeddings.astype(opts.compute_dtype), sparse, scfg
+    )
+    hyper1 = hyper[:, :1, :]  # single-mask output (multimask_output=False)
 
     cx = (boxes[..., 0] + boxes[..., 2]) * 0.5
     cy = (boxes[..., 1] + boxes[..., 3]) * 0.5
@@ -274,10 +298,34 @@ def segment_stage(
     offsets = jnp.stack([off_r, off_c], axis=-1)  # (B, K, 2)
 
     scale_to_low = sam_scale / (scfg.image_size / scfg.low_res_size)
-    sample = functools.partial(
-        _bilinear_crop_sample, crop=cm, scale_to_low=scale_to_low
+
+    # Windowed mask head: each prompt's mask is only needed inside its
+    # metric-crop window, so slice the (gs, gs) token grid to a per-prompt
+    # window and upscale just that — the full 4gs x 4gs map per prompt was
+    # the decoder's dominant memory traffic (e.g. 537 MB tensors at B=32).
+    scale_to_grid = scale_to_low / 4.0
+    wg = min(gs, int(math.ceil(cm * scale_to_grid)) + 3)
+    flat_off = offsets.reshape(b * k, 2)
+    g_start_r = jnp.clip(
+        (flat_off[:, 0].astype(jnp.float32) * scale_to_grid).astype(jnp.int32) - 1,
+        0, gs - wg,
     )
-    crops = jax.vmap(jax.vmap(sample))(low_masks, offsets)  # (B, K, cm, cm)
+    g_start_c = jnp.clip(
+        (flat_off[:, 1].astype(jnp.float32) * scale_to_grid).astype(jnp.int32) - 1,
+        0, gs - wg,
+    )
+    windows = jax.vmap(
+        lambda grid, r0, c0: jax.lax.dynamic_slice(grid, (r0, c0, 0), (wg, wg, grid.shape[-1]))
+    )(keys_grid, g_start_r, g_start_c)  # (B*K, wg, wg, C)
+    logits_win = sam_mask_head(sam_params, windows, hyper1)[:, 0]  # (B*K, 4wg, 4wg)
+
+    # crop-sample at original resolution, with coords relative to the window
+    win_low_start = jnp.stack([g_start_r * 4, g_start_c * 4], axis=-1)  # (B*K, 2)
+    sample = functools.partial(
+        _bilinear_crop_sample_window, crop=cm, scale_to_low=scale_to_low
+    )
+    crops = jax.vmap(sample)(logits_win, flat_off, win_low_start)
+    crops = crops.reshape(b, k, cm, cm)
     mask_crops = (crops > 0.0) & valid[..., None, None]
     return mask_crops, offsets
 
