@@ -38,11 +38,21 @@ def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(axis=-1, keepdims=True)
-    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+    if x.dtype == jnp.float32:
+        mean = x.mean(axis=-1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        return y * p["scale"] + p["bias"]
+    # reduced-precision activations: statistics accumulate in fp32, the
+    # elementwise normalize stays in the activation dtype (halves the LN's
+    # HBM traffic — the fp32 round-trips showed up in the profile)
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    d = x - mean.astype(x.dtype)
+    var = jnp.mean(
+        d.astype(jnp.float32) * d.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    inv = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    return d * inv * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 
 def _softmax_fp32(logits: jnp.ndarray) -> jnp.ndarray:

@@ -29,6 +29,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -145,6 +146,38 @@ def flash_attention_relpos(
     chunks = block_k // grid_s
     scale = hd ** -0.5
 
+    if use_bias:
+        # Fold the decomposed bias INTO the contraction: augment
+        #   q' = [q * hd^-1/2, rh, rw]      (hd + 2S dims)
+        #   k' = [k, onehot(ky), onehot(kx)]
+        # so q'.k'^T = scale*q.k^T + rh[q, ky] + rw[q, kx] exactly — the bias
+        # becomes MXU work and the per-chunk VPU assembly in the kernel
+        # (formerly the kernel's dominant cost) disappears.
+        ky = np.arange(n) // grid_s
+        kx = np.arange(n) % grid_s
+        eye = np.eye(grid_s, dtype=np.float32)
+        onehot = jnp.asarray(
+            np.concatenate([eye[ky], eye[kx]], axis=1)
+        )  # (N, 2S)
+        q = jnp.concatenate(
+            [
+                (q * q.dtype.type(scale)).astype(q.dtype),
+                rh.astype(q.dtype),
+                rw.astype(q.dtype),
+            ],
+            axis=-1,
+        )
+        k = jnp.concatenate(
+            [k, jnp.broadcast_to(onehot[None].astype(k.dtype), (bh, n, 2 * grid_s))],
+            axis=-1,
+        )
+        scale = 1.0
+        use_bias = False
+        hd_out = v.shape[-1]
+    else:
+        hd_out = hd
+    hd = q.shape[-1]
+
     kernel = functools.partial(
         _flash_kernel, scale=scale, grid_s=grid_s, block_k=block_k, num_k=num_k,
         use_bias=use_bias,
@@ -157,16 +190,16 @@ def flash_attention_relpos(
         in_specs=[
             pl.BlockSpec((1, block_q, hd), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k, hd), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, hd), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, hd_out), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_q, grid_s), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_q, grid_s), lambda b, qi, ki: (b, qi, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda b, qi, ki: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n, hd), v.dtype),
+        out_specs=pl.BlockSpec((1, block_q, hd_out), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n, hd_out), v.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, hd), jnp.float32),
+            pltpu.VMEM((block_q, hd_out), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
