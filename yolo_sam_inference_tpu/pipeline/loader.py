@@ -42,39 +42,51 @@ def batched_image_loader(
     if not files:
         return
 
+    def emit(items, load_s_per_img):
+        n_valid = len(items)
+        imgs = [img for _, img in items]
+        paths = [p for p, _ in items]
+        while len(imgs) < batch_size:
+            imgs.append(imgs[0])
+        batch = np.stack(imgs).astype(np.uint8)
+        return batch, paths, n_valid, load_s_per_img * n_valid
+
+    # Stream in bounded chunks (decode-ahead = a few batches), grouping by
+    # shape within each chunk — constant memory even for 100k-image sweeps.
+    # Images of a shape left over at a chunk boundary carry into the next
+    # chunk so full batches still form across chunks.
+    chunk_files = batch_size * 4
+    pending: dict = {}  # shape -> [(path, img)]
     skipped: List[str] = []
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        t0 = time.time()
-        loaded = []
-        for path, img in zip(files, pool.map(_safe_load, files)):
-            if img is None or img.size == 0:
-                logger.warning("Skipping unreadable image: %s", path)
-                skipped.append(str(path))
-                continue
-            loaded.append((path, img))
-        load_total = time.time() - t0
+        for start in range(0, len(files), chunk_files):
+            chunk = files[start : start + chunk_files]
+            t0 = time.time()
+            for path, img in zip(chunk, pool.map(_safe_load, chunk)):
+                if img is None or img.size == 0:
+                    logger.warning("Skipping unreadable image: %s", path)
+                    skipped.append(str(path))
+                    continue
+                pending.setdefault(img.shape, []).append((path, img))
+            load_s = time.time() - t0
+            n_loaded = max(sum(len(v) for v in pending.values()), 1)
+            per_img = load_s / n_loaded
+            for shape in list(pending):
+                items = pending[shape]
+                while len(items) >= batch_size:
+                    yield emit(items[:batch_size], per_img)
+                    del items[:batch_size]
+                if not items:
+                    del pending[shape]
+    # final partial batches
+    for items in pending.values():
+        if items:
+            yield emit(items, 0.0)
+
     if skipped and skipped_report is not None:
         skipped_report.parent.mkdir(parents=True, exist_ok=True)
         with open(skipped_report, "a") as f:
             f.write("\n".join(skipped) + "\n")
-
-    # group by shape, preserving order within groups
-    groups: dict = {}
-    for path, img in loaded:
-        groups.setdefault(img.shape, []).append((path, img))
-
-    n_total = max(len(loaded), 1)
-    for shape, items in groups.items():
-        for i in range(0, len(items), batch_size):
-            chunk = items[i : i + batch_size]
-            n_valid = len(chunk)
-            imgs = [img for _, img in chunk]
-            paths = [p for p, _ in chunk]
-            while len(imgs) < batch_size:
-                imgs.append(imgs[0])
-            batch = np.stack(imgs).astype(np.uint8)
-            # attribute load time proportionally to this batch
-            yield batch, paths, n_valid, load_total * (n_valid / n_total)
 
 
 def _safe_load(path: Path):
