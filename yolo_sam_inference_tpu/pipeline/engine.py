@@ -669,10 +669,16 @@ class CellSegmentationPipeline:
             snap.update({"sam_model_type": self.sam_model_type, "run_id": self.run_id})
             _json.dump(snap, f, indent=2)
 
+        from .loader import prefetch_iterator
+
         bsz = self.options.batch_size
-        for batch_imgs, batch_paths, n_valid, load_s in batched_image_loader(
-            files, bsz, skipped_report=output_dir / "skipped_images.txt"
-        ):
+        batches = prefetch_iterator(
+            batched_image_loader(
+                files, bsz, skipped_report=output_dir / "skipped_images.txt"
+            ),
+            depth=2,
+        )
+        for batch_imgs, batch_paths, n_valid, load_s in batches:
             timings: Dict[str, float] = {"image_load": load_s}
             out = self.process_batch_arrays(batch_imgs, timings)
             batch_results = self._results_from_outputs(out, batch_paths, n_valid)

@@ -95,3 +95,31 @@ def _safe_load(path: Path):
     except Exception as e:  # corrupt/zero-byte images are skipped, not fatal
         logger.warning("Failed to load %s: %s", path, e)
         return None
+
+
+def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
+    """Run a generator on a background thread with a bounded queue, so image
+    decode overlaps device compute (double buffering)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # propagate errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
