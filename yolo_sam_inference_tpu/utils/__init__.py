@@ -12,8 +12,11 @@ from .metrics_reporter import (
     report_cell_details,
 )
 from .model_loader import load_model_from_mlflow, load_model_from_registry
+from .checkpoint import save_params, load_params
 
 __all__ = [
+    "save_params",
+    "load_params",
     "setup_logger",
     "encode_binary_mask",
     "decode_binary_mask",
