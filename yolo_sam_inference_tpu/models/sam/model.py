@@ -116,9 +116,10 @@ def _vision_attention(
         rw = jnp.einsum("bhqwc,wkc->bhqwk", qg, rw_tab).reshape(b * heads, s * s, s)
 
         # tile sizes: largest divisors of N within VMEM-friendly budgets,
-        # block_k a multiple of the grid side (bias chunking invariant)
+        # block_k a multiple of the grid side (bias chunking invariant);
+        # with the bias folded into the contraction, bigger q tiles win
         n = s * s
-        bq = max(d for d in range(8, min(512, n) + 1, 8) if n % d == 0)
+        bq = max(d for d in range(8, min(1024, n) + 1, 8) if n % d == 0)
         bk = max(m for m in range(s, min(1024, n) + 1, s) if n % m == 0)
         out = flash_attention_relpos(
             q.reshape(b * heads, s * s, hd),
