@@ -91,8 +91,10 @@ int32_t ibin_read_gray8(const char* path, const IbinFrame* frames, int64_t n,
     int depth = fr.cv_type & 7;
     int channels = (fr.cv_type >> 3) + 1;
     int64_t es = elem_size(fr.cv_type);
+    // es < 0 means an unknown cv_type from a caller-supplied frame: reject
+    // here rather than let `bytes` go negative past the size guard.
     int64_t bytes = frame_px * es;
-    if (bytes > max_bytes) { delete[] tmp; fclose(f); return -4; }
+    if (es < 0 || bytes > max_bytes) { delete[] tmp; fclose(f); return -4; }
     if (fseek(f, (long)fr.data_offset, SEEK_SET) != 0 ||
         fread(tmp, 1, (size_t)bytes, f) != (size_t)bytes) {
       delete[] tmp;

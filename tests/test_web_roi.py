@@ -98,6 +98,38 @@ def test_full_roi_flow(condition_tree, tmp_path):
     assert saved == rois
 
 
+def test_condition_param_escaped_and_validated(condition_tree, tmp_path):
+    """Reflected-XSS hardening: unknown conditions are rejected outright,
+    and known condition names are escaped per-context in the page."""
+    session = RoiSession(
+        {"<img src=x onerror=alert(1)>": pick_condition_image(condition_tree / "cond_y")},
+        tmp_path / "roi.json",
+    )
+    server = run_server(session, port=19489)
+    try:
+        base = "http://localhost:19489"
+        # unknown condition -> 404, nothing reflected
+        from urllib.parse import quote
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(base + "/?condition=" + quote("<script>alert(1)</script>"))
+        assert exc.value.code == 404
+        # known-but-hostile condition name is escaped in the served page
+        status, body = _get(base + "/?condition=" + quote("<img src=x onerror=alert(1)>"))
+        assert status == 200
+        assert b"<img src=x onerror" not in body
+        assert b"&lt;img src=x onerror" in body
+        # the JS context gets a JSON string literal with '<' escaped
+        assert b'condition: "\\u003cimg' in body
+        # confirm with an unknown condition -> 404
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(base + "/confirm_roi",
+                  {"condition": "evil", "x_min": 0, "x_max": 1, "y_min": 0, "y_max": 1})
+        assert exc.value.code == 404
+    finally:
+        server.shutdown()
+
+
 def test_bad_confirm_rejected(condition_tree, tmp_path):
     session = RoiSession({"c": pick_condition_image(condition_tree / "cond_y")},
                          tmp_path / "roi.json")

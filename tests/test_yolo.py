@@ -312,3 +312,36 @@ def test_fold_conv_bn_math():
         _conv(p, jnp.asarray(_nhwc(x)), act=False)
     )
     np.testing.assert_allclose(got, _nhwc(want), rtol=1e-4, atol=1e-5)
+
+
+def test_load_yolo_params_pickle_gated(tmp_path):
+    """A checkpoint that fails weights_only=True must NOT be silently
+    unpickled: the unsafe path requires an explicit allow_pickle=True."""
+    import pytest
+
+    from yolo_sam_inference_tpu.models.yolo.convert import load_yolo_params
+
+    import os
+
+    cfg = yolov8n()
+    path = tmp_path / "evil.pt"
+    # a pickled function reference is rejected by weights_only=True
+    torch.save({"model": os.system}, path)
+    with pytest.raises(ValueError, match="allow_pickle"):
+        load_yolo_params(str(path), cfg)
+
+
+def test_load_yolo_params_state_dict_roundtrip(tmp_path):
+    """A plain state-dict checkpoint loads via the safe path (no pickle)."""
+    cfg = yolov8n()
+    sd = _fake_ultralytics_state_dict(cfg)
+    path = tmp_path / "sd.pt"
+    torch.save(sd, path)
+    from yolo_sam_inference_tpu.models.yolo.convert import load_yolo_params
+
+    import jax
+
+    params = load_yolo_params(str(path), cfg)
+    imgs = jnp.asarray(np.zeros((1, 128, 128, 3), dtype=np.float32))
+    outs = yolo_forward(params, imgs, cfg)
+    assert all(np.isfinite(np.asarray(o)).all() for o in jax.tree_util.tree_leaves(outs))

@@ -110,19 +110,40 @@ def convert_ultralytics_state_dict(
     return {"backbone": backbone, "head": head, "detect": detect}
 
 
-def load_yolo_params(checkpoint_path: str, cfg: YoloConfig) -> Dict[str, Any]:
+def load_yolo_params(
+    checkpoint_path: str, cfg: YoloConfig, allow_pickle: bool = False
+) -> Dict[str, Any]:
     """Load a YOLO checkpoint and convert.
 
     Accepts (a) a plain state-dict file saved with
     ``torch.save(model.state_dict())`` or (b) a full ultralytics ``.pt``
     (requires the ``ultralytics`` package to unpickle; not present in this
     environment — export a state dict first in that case).
+
+    Full ``.pt`` files need arbitrary unpickling (``weights_only=False``),
+    which can execute code embedded in the checkpoint. That path is gated
+    behind ``allow_pickle=True``: only pass it for checkpoints you trust.
     """
+    import logging
+
     import torch
 
     try:
         obj = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
-    except Exception:
+    except Exception as exc:
+        if not allow_pickle:
+            raise ValueError(
+                f"{checkpoint_path} is not a plain state-dict checkpoint "
+                f"(weights_only load failed: {exc}). If this is a trusted "
+                "full ultralytics .pt, re-call with allow_pickle=True — "
+                "unpickling untrusted checkpoints can execute arbitrary code."
+            ) from exc
+        logging.getLogger(__name__).warning(
+            "load_yolo_params: falling back to full unpickling of %s "
+            "(allow_pickle=True) — this executes code in the checkpoint; "
+            "only do this for trusted files.",
+            checkpoint_path,
+        )
         obj = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "model" in obj and hasattr(obj["model"], "state_dict"):
         sd = obj["model"].float().state_dict()

@@ -18,6 +18,7 @@ and the actual predicted-vs-target IoU.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Tuple
 
 import jax
@@ -96,10 +97,11 @@ def _loss_fn(params, batch, cfg: SamTPUConfig):
     return loss
 
 
-def sam_decoder_train_step(state, batch, cfg: SamTPUConfig, mesh: Mesh):
-    """One jitted dp x tp training step. ``batch``: images (B,H,W,3) fp32
-    normalized, boxes (B,K,4), masks (B,K,l,l), valid (B,K)."""
-    tx = state["tx"]
+@functools.lru_cache(maxsize=16)
+def _make_step(tx, cfg: SamTPUConfig, mesh: Mesh):
+    """Build the jitted step once per (tx, cfg, mesh); cached so repeated
+    calls with the same train state hit the jit cache instead of retracing
+    (a fresh closure per call would recompile every step)."""
 
     @jax.jit
     def step(params, opt_state, batch):
@@ -114,6 +116,14 @@ def sam_decoder_train_step(state, batch, cfg: SamTPUConfig, mesh: Mesh):
         new_params = optax.apply_updates(params, updates)
         return new_params, new_opt, loss
 
+    return step
+
+
+def sam_decoder_train_step(state, batch, cfg: SamTPUConfig, mesh: Mesh):
+    """One jitted dp x tp training step. ``batch``: images (B,H,W,3) fp32
+    normalized, boxes (B,K,4), masks (B,K,l,l), valid (B,K)."""
+    tx = state["tx"]
+    step = _make_step(tx, cfg, mesh)
     params, opt_state, loss = step(state["params"], state["opt_state"], batch)
     return {
         "params": params,

@@ -175,10 +175,14 @@ class PostgresManifest:
                 f"COUNT(error), COUNT(*) FILTER (WHERE empty) FROM {self.table}"
             )
             total, done, errors, empty = cur.fetchone()
+            # Count rows where at least one result object carries a
+            # 'deformability' key (jsonb ? tests key existence; the
+            # doubled ?? escapes the psycopg2 placeholder).
             cur.execute(
                 f"SELECT COUNT(*) FROM {self.table} "
-                f"WHERE results @> '[{{\"deformability\": null}}]'::jsonb IS NOT NULL "
-                f"AND results IS NOT NULL"
+                f"WHERE results IS NOT NULL AND EXISTS ("
+                f"  SELECT 1 FROM jsonb_array_elements(results) elem"
+                f"  WHERE elem ?? 'deformability')"
             )
             with_deform = cur.fetchone()[0]
         return {

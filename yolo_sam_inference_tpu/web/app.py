@@ -15,9 +15,11 @@ persist to ``roi_coordinates.json`` after every confirm
 
 from __future__ import annotations
 
+import html
 import io
 import json
 import threading
+from urllib.parse import quote
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -36,10 +38,10 @@ _PAGE = """<!DOCTYPE html>
  button { margin-top: 1em; padding: 0.5em 2em; font-size: 1em; }
  .done { color: #0f0; }
 </style></head><body>
-<h2>Select ROI — condition: <span id="cond">__COND__</span>
+<h2>Select ROI — condition: <span id="cond">__COND_HTML__</span>
  (<span id="idx">__IDX__</span>/<span id="total">__TOTAL__</span>)</h2>
 <p>Click and drag to draw the region of interest, then confirm.</p>
-<div id="wrap"><img id="img" src="/image?condition=__COND__">
+<div id="wrap"><img id="img" src="/image?condition=__COND_URL__">
 <div id="box"></div></div><br>
 <button id="confirm" disabled>Confirm ROI</button>
 <p id="status"></p>
@@ -74,7 +76,7 @@ window.addEventListener('mouseup', e => {
 document.getElementById('confirm').addEventListener('click', async () => {
   const resp = await fetch('/confirm_roi', {method: 'POST',
     headers: {'Content-Type': 'application/json'},
-    body: JSON.stringify({condition: '__COND__', ...roi})});
+    body: JSON.stringify({condition: __COND_JS__, ...roi})});
   const data = await resp.json();
   if (data.next) { window.location = '/?condition=' + encodeURIComponent(data.next); }
   else { document.body.innerHTML = '<h2 class="done">All ROIs confirmed — you can close this tab.</h2>'; }
@@ -132,9 +134,22 @@ def _make_handler(session: RoiSession):
                     self._send(200, b"<h2>All ROIs confirmed.</h2>")
                     return
                 cond = qs.get("condition", [pend[0]])[0]
+                if cond not in session.order:
+                    self._send(404, b"unknown condition")
+                    return
                 idx = len(session.order) - len(pend) + 1
+                # Per-context escaping: the condition is user-influenced
+                # (query param / directory name), so it must never reach the
+                # page as raw HTML or raw JS.
                 page = (
-                    _PAGE.replace("__COND__", cond)
+                    _PAGE.replace("__COND_HTML__", html.escape(cond))
+                    .replace("__COND_URL__", html.escape(quote(cond), quote=True))
+                    .replace(
+                        "__COND_JS__",
+                        # json.dumps leaves '<' intact; escape it so the
+                        # string can never close a <script> context.
+                        json.dumps(cond).replace("<", "\\u003c").replace(">", "\\u003e"),
+                    )
                     .replace("__IDX__", str(idx))
                     .replace("__TOTAL__", str(len(session.order)))
                 )
@@ -169,6 +184,9 @@ def _make_handler(session: RoiSession):
             except (json.JSONDecodeError, KeyError, ValueError):
                 self._send(400, b'{"error": "bad request"}', "application/json")
                 return
+            if cond not in session.order:
+                self._send(404, b'{"error": "unknown condition"}', "application/json")
+                return
             nxt = session.confirm(cond, roi)
             self._send(
                 200, json.dumps({"ok": True, "next": nxt}).encode(), "application/json"
@@ -191,8 +209,12 @@ def pick_condition_image(condition_dir: Path) -> Optional[Path]:
     return full[0] if full else candidates[0]
 
 
-def run_server(session: RoiSession, port: int = 9487) -> ThreadingHTTPServer:
-    server = ThreadingHTTPServer(("0.0.0.0", port), _make_handler(session))
+def run_server(
+    session: RoiSession, port: int = 9487, host: str = "127.0.0.1"
+) -> ThreadingHTTPServer:
+    """Bind localhost by default; pass ``host="0.0.0.0"`` explicitly to
+    expose the picker to the network (the page renders operator-side)."""
+    server = ThreadingHTTPServer((host, port), _make_handler(session))
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server
@@ -203,6 +225,7 @@ def get_roi_coordinates_web(
     run_output_dir: Path,
     port: int = 9487,
     timeout: Optional[float] = None,
+    host: str = "127.0.0.1",
 ) -> Dict[str, Dict[str, int]]:
     """Serve the picker and block until every condition has an ROI.
 
@@ -221,7 +244,7 @@ def get_roi_coordinates_web(
 
     Path(run_output_dir).mkdir(parents=True, exist_ok=True)
     session = RoiSession(condition_images, Path(run_output_dir) / "roi_coordinates.json")
-    server = run_server(session, port)
+    server = run_server(session, port, host=host)
     logger.info("ROI selection running at http://localhost:%d/ — waiting...", port)
     try:
         if not session.done.wait(timeout):
