@@ -103,3 +103,82 @@ def test_merge_csv_shards(tmp_path):
     out = merge_csv_shards(tmp_path, "cell_metrics")
     df = pd.read_csv(out)
     assert sorted(df["a"]) == [0, 1, 2]
+
+
+@pytest.fixture(scope="module")
+def _tiny_setup():
+    from yolo_sam_inference_tpu.models.sam import sam_tiny_test
+    from yolo_sam_inference_tpu.models.yolo import YoloConfig
+    from yolo_sam_inference_tpu.pipeline.engine import PipelineOptions
+
+    opts = PipelineOptions(
+        batch_size=4,
+        max_det=8,
+        metric_crop=48,
+        yolo_size=64,
+        nms_candidates=64,
+        compute_dtype=jnp.float32,
+    )
+    return sam_tiny_test(), YoloConfig(num_classes=1), opts
+
+
+def test_data_parallel_inference_matches_single_device(_tiny_setup):
+    """dp-sharded inference (mesh=) is numerically equal to single-device,
+    including a batch size that does not divide dp (pad-and-slice path)."""
+    from synth import make_cell_image
+
+    from yolo_sam_inference_tpu.pipeline.engine import CellSegmentationPipeline
+
+    scfg, ycfg, opts = _tiny_setup
+    rng = np.random.default_rng(7)
+    imgs = np.stack([make_cell_image(rng) for _ in range(6)])  # 6 % dp(4) != 0
+
+    single = CellSegmentationPipeline(sam_config=scfg, yolo_config=ycfg,
+                                      options=opts, seed=0)
+    sharded = CellSegmentationPipeline(sam_config=scfg, yolo_config=ycfg,
+                                       options=opts, seed=0,
+                                       mesh=make_mesh(dp=4, tp=2))
+
+    out_s = single.process_batch_arrays(imgs)
+    out_m = sharded.process_batch_arrays(imgs)
+
+    for key in ("boxes", "scores", "valid", "offsets", "mask_crops"):
+        np.testing.assert_allclose(out_m[key], out_s[key], rtol=1e-5, atol=1e-5)
+    for key, v in out_s["metrics"].items():
+        np.testing.assert_allclose(out_m["metrics"][key], v, rtol=1e-4, atol=1e-4)
+    assert out_m["boxes"].shape[0] == 6  # padding rows sliced off
+
+
+def test_data_parallel_inference_actually_sharded(_tiny_setup):
+    """The sharded pipeline's batch really lands on all dp devices."""
+    from yolo_sam_inference_tpu.pipeline.engine import CellSegmentationPipeline
+
+    scfg, ycfg, opts = _tiny_setup
+    mesh = make_mesh(dp=8, tp=1)
+    pipe = CellSegmentationPipeline(sam_config=scfg, yolo_config=ycfg,
+                                    options=opts, mesh=mesh)
+    imgs = np.zeros((8, 96, 128, 3), dtype=np.uint8)
+    dev, b = pipe._images_to_device(imgs)
+    assert b == 8
+    assert len(dev.sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in dev.addressable_shards}
+    assert shard_shapes == {(1, 96, 128, 3)}
+
+
+def test_num_pipelines_maps_to_batch_multiplier():
+    from yolo_sam_inference_tpu.models.sam import sam_tiny_test
+    from yolo_sam_inference_tpu.models.yolo import YoloConfig
+    from yolo_sam_inference_tpu.pipeline.engine import (
+        ParallelCellSegmentationPipeline,
+        PipelineOptions,
+    )
+
+    pipe = ParallelCellSegmentationPipeline(
+        sam_config=sam_tiny_test(),
+        yolo_config=YoloConfig(num_classes=1),
+        options=PipelineOptions(batch_size=3, yolo_size=64,
+                                compute_dtype=jnp.float32),
+        num_pipelines=4,
+    )
+    assert pipe.options.batch_size == 12
+    assert pipe.num_pipelines == 4

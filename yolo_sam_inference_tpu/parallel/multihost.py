@@ -67,6 +67,9 @@ def run_sharded_directory(pipeline, input_dir: Path, output_dir: Path,
                           save_visualizations: bool = False):
     """Process this host's shard of a directory; write per-host CSV shards.
 
+    Construct ``pipeline`` with ``mesh=make_mesh(...)`` over this host's
+    local devices so each host's batch runs data-parallel across its chips
+    (two-level parallelism: files sharded over hosts, batches over devices).
     Call :func:`merge_csv_shards` afterwards (host 0) for the global CSVs.
     """
     from ..io.images import list_image_files

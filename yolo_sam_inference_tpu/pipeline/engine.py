@@ -363,8 +363,21 @@ class CellSegmentationPipeline:
         seed: int = 0,
         sam_config: Optional[SamTPUConfig] = None,
         yolo_config: Optional[YoloConfig] = None,
+        mesh: Optional[Any] = None,
     ) -> None:
+        """``mesh``: an optional ``jax.sharding.Mesh`` (e.g. from
+        ``parallel.mesh.make_mesh``). When given, inference runs data-parallel:
+        the image batch is sharded over the mesh's 'dp' axis (padded to a dp
+        multiple), weights are replicated, and XLA compiles one SPMD program —
+        the TPU-native replacement for the reference's thread-replica pool
+        (reference ``pipeline.py:440-467``, one model copy per thread)."""
         self.sam_model_type = sam_model_type
+        self.mesh = mesh
+        if mesh is not None:
+            if "dp" in mesh.axis_names:
+                self._dp = int(mesh.shape["dp"])
+            else:  # no named dp axis: shard over the first axis
+                self._dp = int(mesh.devices.shape[0])
         self.options = options or PipelineOptions()
         self.yolo_config = yolo_config or yolov8n()
         if sam_config is not None:
@@ -456,6 +469,15 @@ class CellSegmentationPipeline:
             # params showed up as real per-iteration work in the profile
             sam_params = _cast_floating(self._sam_params_for(scfg), opts.compute_dtype)
             yolo_params_c = _cast_floating(self.yolo_params, opts.compute_dtype)
+            if self.mesh is not None:
+                # replicate weights across the mesh once; sharded image
+                # inputs then make every jitted stage an SPMD program
+                from ..parallel.mesh import replicate_sharding
+
+                rep = replicate_sharding(self.mesh)
+                put = lambda x: jax.device_put(x, rep)
+                sam_params = jax.tree_util.tree_map(put, sam_params)
+                yolo_params_c = jax.tree_util.tree_map(put, yolo_params_c)
 
             detect = jax.jit(
                 lambda yp, img: detect_stage(yp, img, ycfg, opts)
@@ -491,6 +513,22 @@ class CellSegmentationPipeline:
 
     # -- array-level API -------------------------------------------------------
 
+    def _images_to_device(self, images: np.ndarray) -> Tuple[jnp.ndarray, int]:
+        """Place a uint8 image batch on device. With a mesh, pad the batch to
+        a dp multiple and shard it over 'dp' (weights are replicated in
+        :meth:`_stages`); returns (device array, original batch size)."""
+        b = int(images.shape[0])
+        if self.mesh is None:
+            return jnp.asarray(images), b
+        from ..parallel.mesh import data_sharding
+
+        pad = (-b) % self._dp
+        if pad:
+            images = np.concatenate(
+                [images, np.zeros((pad, *images.shape[1:]), images.dtype)], axis=0
+            )
+        return jax.device_put(images, data_sharding(self.mesh, images.ndim)), b
+
     def process_batch_arrays(
         self, images: np.ndarray, timings: Optional[Dict[str, float]] = None
     ) -> Dict[str, np.ndarray]:
@@ -512,7 +550,7 @@ class CellSegmentationPipeline:
                 timings[key] = timings.get(key, 0.0) + time.perf_counter() - t0
             return out
 
-        dev_images = jnp.asarray(images)
+        dev_images, b = self._images_to_device(images)
         boxes, scores, valid = timed("yolo_detection", st["detect"], st["yolo_params"], dev_images)
         emb = timed("sam_preprocess", st["embed"], st["sam_params"], dev_images)
         crops, offs = timed(
@@ -521,13 +559,15 @@ class CellSegmentationPipeline:
         gray = dev_images.astype(jnp.float32).mean(axis=-1)
         mets = timed("metrics_total", st["metrics"], crops, offs, gray)
 
+        # [:b] drops dp-padding rows added by _images_to_device (no-op when
+        # the mesh is absent or the batch already divides dp)
         return {
-            "boxes": np.asarray(boxes),
-            "scores": np.asarray(scores),
-            "valid": np.asarray(valid),
-            "mask_crops": np.asarray(crops),
-            "offsets": np.asarray(offs),
-            "metrics": {k: np.asarray(v) for k, v in mets.items()},
+            "boxes": np.asarray(boxes)[:b],
+            "scores": np.asarray(scores)[:b],
+            "valid": np.asarray(valid)[:b],
+            "mask_crops": np.asarray(crops)[:b],
+            "offsets": np.asarray(offs)[:b],
+            "metrics": {k: np.asarray(v)[:b] for k, v in mets.items()},
         }
 
     def detect_batch_arrays(self, images: np.ndarray) -> Dict[str, np.ndarray]:
@@ -535,17 +575,25 @@ class CellSegmentationPipeline:
         (for detection-only tools like the frame cleaner)."""
         b, h, w, _ = images.shape
         st = self._stages(h, w)
-        boxes, scores, valid = st["detect"](st["yolo_params"], jnp.asarray(images))
+        dev_images, b = self._images_to_device(images)
+        boxes, scores, valid = st["detect"](st["yolo_params"], dev_images)
         return {
-            "boxes": np.asarray(boxes),
-            "scores": np.asarray(scores),
-            "valid": np.asarray(valid),
+            "boxes": np.asarray(boxes)[:b],
+            "scores": np.asarray(scores)[:b],
+            "valid": np.asarray(valid)[:b],
         }
 
     def fused_call(self, images: jnp.ndarray):
-        """Single-program execution (maximum throughput; used by bench)."""
+        """Single-program execution (maximum throughput; used by bench).
+
+        With a mesh, the batch is dp-sharded (and padded to a dp multiple:
+        outputs then carry the padded batch dimension — callers that need
+        exactly the input batch should slice ``[:len(images)]``).
+        """
         b, h, w, _ = images.shape
         st = self._stages(h, w)
+        if self.mesh is not None:
+            images, _ = self._images_to_device(np.asarray(images))
         return st["fused"](st["yolo_params"], st["sam_params"], images)
 
     # -- host-level helpers -----------------------------------------------------
@@ -743,10 +791,18 @@ class ParallelCellSegmentationPipeline(CellSegmentationPipeline):
     On TPU there is no reason to replicate model weights across host threads
     (the GIL-bound design the reference used): batching + ``jax.sharding``
     data parallelism across devices replaces it. ``num_pipelines`` is
-    accepted and mapped to the device batch size multiplier.
+    accepted and mapped to the device batch size multiplier: where the
+    reference ran N thread replicas each on its own image, this runs one
+    device program over an N x batch_size image batch.
     """
 
     def __init__(self, *args, num_pipelines: int = 2, **kwargs) -> None:
+        import dataclasses as _dc
+
+        opts = kwargs.get("options") or PipelineOptions()
+        kwargs["options"] = _dc.replace(
+            opts, batch_size=opts.batch_size * max(1, int(num_pipelines))
+        )
         super().__init__(*args, **kwargs)
         self.num_pipelines = num_pipelines
 
