@@ -271,3 +271,88 @@ def test_no_convex_hull_variant(rng):
     assert out["deformability"] == 0.5
     assert out["area_ratio"] == 1.0
     assert out["convex_hull_area"] == out["area"]
+
+
+# ------------------------------------------- reference hull-procedure parity
+
+
+def test_rasterized_hull_matches_reference_procedure():
+    """hull_mode="reference" reproduces the reference's rasterize+regionprops
+    hull numbers (oracle_refhull implements that exact procedure in numpy)."""
+    from oracle_refhull import make_cell_mask, reference_hull_measures
+    from yolo_sam_inference_tpu.ops.metrics import rasterized_hull_measures
+
+    rng = np.random.default_rng(3)
+    checked = 0
+    for _ in range(30):
+        mask = make_cell_mask(rng)
+        if mask.sum() < 20:
+            continue
+        ref_a, ref_p = reference_hull_measures(mask)
+        a, p = rasterized_hull_measures(jnp.asarray(mask[None]))
+        a, p = float(a[0]), float(p[0])
+        # perimeter: exact; area: within a few boundary pixels (even-odd
+        # near-center crossings within float eps of a pixel center)
+        assert p == pytest.approx(ref_p, abs=0.01)
+        assert abs(a - ref_a) <= 6.0
+        d_ref = 1.0 - 2.0 * math.sqrt(math.pi * ref_a) / ref_p
+        d_dev = 1.0 - 2.0 * math.sqrt(math.pi * a) / p
+        assert abs(d_dev - d_ref) < 2e-3
+        checked += 1
+    assert checked >= 25
+
+
+def test_reference_hull_mode_divergence_bound():
+    """Quantifies the polygon-vs-reference divergence (VERDICT r1 weak #3):
+    the reference's rasterized weighted perimeter runs ~3% longer than the
+    exact hull polygon perimeter, so its deformability is systematically
+    HIGHER by ~0.026 (max ~0.043 on realistic cell masks). Documented here
+    and in BENCH_NOTES.md; use hull_mode="reference" for number parity."""
+    from oracle_refhull import make_cell_mask, reference_deformability
+    from yolo_sam_inference_tpu.ops.metrics import convex_hull_measures
+
+    rng = np.random.default_rng(11)
+    deltas = []
+    for _ in range(60):
+        mask = make_cell_mask(rng)
+        if mask.sum() < 20:
+            continue
+        a, p = convex_hull_measures(jnp.asarray(mask[None]))
+        d_poly = 1.0 - 2.0 * math.sqrt(math.pi * float(a[0])) / float(p[0])
+        deltas.append(d_poly - reference_deformability(mask))
+    deltas = np.asarray(deltas)
+    # polygon deformability is systematically LOWER, bounded:
+    assert deltas.mean() == pytest.approx(-0.026, abs=0.01)
+    assert np.abs(deltas).max() < 0.06
+
+
+def test_hull_mode_plumbed_through_metrics():
+    rng = np.random.default_rng(5)
+    mask = random_blob(rng)
+    gray = np.zeros((64, 64), dtype=np.float32)
+    poly = batched_cell_metrics(jnp.asarray(mask[None]), jnp.asarray(gray))
+    ref = batched_cell_metrics(
+        jnp.asarray(mask[None]), jnp.asarray(gray), hull_mode="reference"
+    )
+    # reference mode: integer pixel-count hull area, longer perimeter
+    assert float(ref["convex_hull_area"][0]) == float(
+        int(ref["convex_hull_area"][0])
+    )
+    assert float(ref["convex_hull_perimeter"][0]) > float(
+        poly["convex_hull_perimeter"][0]
+    )
+    assert float(ref["deformability"][0]) > float(poly["deformability"][0])
+    with pytest.raises(ValueError):
+        batched_cell_metrics(
+            jnp.asarray(mask[None]), jnp.asarray(gray), hull_mode="nope"
+        )
+
+
+def test_calculate_metrics_hull_mode_api():
+    rng = np.random.default_rng(6)
+    mask = random_blob(rng, 96, 96)
+    image = rng.integers(0, 255, size=(96, 96, 3)).astype(np.uint8)
+    out_ref = calculate_metrics(image, mask, hull_mode="reference")
+    out_poly = calculate_metrics(image, mask)
+    assert out_ref["deformability"] > out_poly["deformability"]
+    assert out_ref["area"] == out_poly["area"]  # non-hull metrics unchanged

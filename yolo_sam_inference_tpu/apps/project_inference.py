@@ -34,6 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--num-pipelines", type=int, default=2,
                    help="accepted for reference API parity; batching replaces replicas")
     p.add_argument("--save-visualizations", action="store_true")
+    p.add_argument("--hull-mode", choices=("polygon", "reference"), default="polygon",
+                   help="hull measurement: exact polygon (default) or the "
+                        "reference's rasterize+regionprops procedure")
     p.add_argument("--roi-file", type=Path, default=None)
     p.add_argument("--roi", type=str, default=None,
                    help="x_min,x_max[,y_min,y_max] applied to every condition")
@@ -119,7 +122,8 @@ def main(argv=None) -> int:
 
     rois = resolve_rois(args, condition_names)
 
-    opts = PipelineOptions(batch_size=args.batch_size, max_det=args.max_det)
+    opts = PipelineOptions(batch_size=args.batch_size, max_det=args.max_det,
+                           hull_mode=args.hull_mode)
     pipeline = ParallelCellSegmentationPipeline(
         yolo_model_path=args.yolo_model,
         sam_model_type=args.sam_model,

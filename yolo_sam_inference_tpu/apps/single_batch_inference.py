@@ -34,6 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-det", type=int, default=24)
     p.add_argument("--save-visualizations", action="store_true")
+    p.add_argument("--hull-mode", choices=("polygon", "reference"), default="polygon",
+                   help="hull measurement: exact polygon (default) or the "
+                        "reference's rasterize+regionprops procedure")
     return p.parse_args(argv)
 
 
@@ -51,7 +54,8 @@ def main(argv=None) -> int:
     if yolo_path is None and args.run_id:
         yolo_path = load_model_from_mlflow(args.experiment_id or "", args.run_id)
 
-    opts = PipelineOptions(batch_size=args.batch_size, max_det=args.max_det)
+    opts = PipelineOptions(batch_size=args.batch_size, max_det=args.max_det,
+                           hull_mode=args.hull_mode)
     pipeline = CellSegmentationPipeline(
         yolo_model_path=yolo_path,
         sam_model_type=args.sam_model,

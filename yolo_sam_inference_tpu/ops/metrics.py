@@ -145,14 +145,13 @@ def _hull_directions(num_directions: int) -> np.ndarray:
     return np.stack([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32)  # (D, 2)
 
 
-def convex_hull_measures(
-    masks: jnp.ndarray, num_directions: int = 256
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact convex hull (area, perimeter) of batched binary masks.
+def _hull_candidate_scores(
+    masks: jnp.ndarray, num_directions: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared hull front-end: boundary edge-midpoint candidates + their
+    support scores along D static directions.
 
-    ``masks``: (K, h, w) bool/float. Returns (area (K,), perimeter (K,)) of the
-    convex hull of the boundary edge-midpoints (find_contours vertex
-    convention, reference ``utils/metrics.py:31-40``). Zero for empty masks.
+    Returns (pts (K, N, 2), scores (K, N, D), any_mask (K,)).
     """
     m = masks.astype(jnp.float32)
     k, h, w = m.shape
@@ -196,6 +195,19 @@ def convex_hull_measures(
     scores = jnp.einsum(
         "knc,dc->knd", pts, dirs, preferred_element_type=jnp.float32
     )  # (K, N, D)
+    return pts, scores, any_mask
+
+
+def convex_hull_measures(
+    masks: jnp.ndarray, num_directions: int = 256
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact convex hull (area, perimeter) of batched binary masks.
+
+    ``masks``: (K, h, w) bool/float. Returns (area (K,), perimeter (K,)) of the
+    convex hull of the boundary edge-midpoints (find_contours vertex
+    convention, reference ``utils/metrics.py:31-40``). Zero for empty masks.
+    """
+    pts, scores, any_mask = _hull_candidate_scores(masks, num_directions)
     arg = jnp.argmax(scores, axis=1)  # (K, D)
     verts = jnp.take_along_axis(pts, arg[:, :, None], axis=1)  # (K, D, 2)
 
@@ -210,6 +222,68 @@ def convex_hull_measures(
     hull_area = jnp.where(any_mask, hull_area, 0.0)
     hull_perim = jnp.where(any_mask, hull_perim, 0.0)
     return hull_area, hull_perim
+
+
+def rasterized_hull_measures(
+    masks: jnp.ndarray, num_directions: int = 256
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """REFERENCE-procedure hull measures: rasterize the hull polygon and
+    re-measure it (pixel-count area + weighted 4n perimeter).
+
+    Matches reference ``utils/metrics.py:42-48`` (ConvexHull -> polygon2mask
+    -> regionprops), which reports systematically different numbers from the
+    exact polygon: the rasterized weighted perimeter runs ~3% longer, shifting
+    deformability by ~+0.03 on realistic cell masks (measured in
+    tests/test_metrics.py::test_reference_hull_mode_divergence_bound).
+
+    TPU-native rasterization: the hull is the intersection of D support
+    half-planes ``r*cos(a_d) + c*sin(a_d) <= h_d``. For every row r each
+    half-plane bounds the column interval, so the raster mask is built from
+    per-(cell, row) [cmin, cmax] intervals — (K, h, D) work, no big
+    intermediates, no gathers.
+    """
+    m = masks.astype(jnp.float32)
+    k, h, w = m.shape
+    pts, scores, any_mask = _hull_candidate_scores(masks, num_directions)
+    arg = jnp.argmax(scores, axis=1)  # (K, D)
+    verts = jnp.take_along_axis(pts, arg[:, :, None], axis=1)  # (K, D, 2) CCW
+
+    # The vertex polygon is the intersection of its D edge half-planes
+    # n.(p - v_i) <= 0 with n the outward edge normal. In angular vertex
+    # order the interior lies left of each edge e = v_{i+1} - v_i, i.e.
+    # e_r*(c - v_c) - e_c*(r - v_r) >= 0  =>  (-e_r)*c + e_c*r <= e_c*v_r - e_r*v_c.
+    nxt = jnp.roll(verts, shift=-1, axis=1)
+    e = nxt - verts  # (K, D, 2); zero rows for repeated vertices
+    n_r = e[..., 1]  # coefficient of r in the <= constraint
+    n_c = -e[..., 0]  # coefficient of c
+    b = e[..., 1] * verts[..., 0] - e[..., 0] * verts[..., 1]  # (K, D)
+
+    r_grid = jnp.arange(h, dtype=jnp.float32)  # pixel-center rows
+    resid = b[:, None, :] - r_grid[None, :, None] * n_r[:, None, :]  # (K, h, D)
+
+    eps = 1e-4
+    pos = n_c > eps  # bounds c from above: c <= resid/n_c
+    neg = n_c < -eps  # bounds c from below
+    axial = ~(pos | neg)  # n_c ~ 0: row feasibility (or degenerate edge)
+    safe_nc = jnp.where(axial, 1.0, n_c)
+    bound = resid / safe_nc[:, None, :]
+    cmax = jnp.where(pos[:, None, :], bound, _BIG).min(axis=-1)  # (K, h)
+    cmin = jnp.where(neg[:, None, :], bound, -_BIG).max(axis=-1)
+    row_ok = jnp.where(axial[:, None, :], resid, _BIG).min(axis=-1) >= -eps
+
+    c_grid = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)  # (h, w)
+    # polygon2mask's even-odd rule counts crossings strictly right of the
+    # pixel center, so centers exactly ON the left crossing are inside and
+    # centers exactly ON the right crossing are outside — hence the
+    # asymmetric epsilons (slope-p/q hull edges do hit centers exactly).
+    raster = (
+        (c_grid[None] >= cmin[:, :, None] - eps)
+        & (c_grid[None] <= cmax[:, :, None] - eps)
+        & row_ok[:, :, None]
+        & any_mask[:, None, None]
+    )
+    rf = raster.astype(jnp.float32)
+    return rf.sum(axis=(1, 2)), perimeter_4n(rf)
 
 
 def _brightness_disk(
@@ -249,6 +323,7 @@ def batched_cell_metrics(
     offsets: Optional[jnp.ndarray] = None,
     image_shape: Optional[Tuple[int, int]] = None,
     num_directions: int = 256,
+    hull_mode: str = "polygon",
 ) -> Dict[str, jnp.ndarray]:
     """All 16 reference metrics for K cells of one image, on device.
 
@@ -262,6 +337,11 @@ def batched_cell_metrics(
             (= crop-independent ``int(0.1 * min(H, W))``); defaults to
             ``gray_image.shape``.
         num_directions: hull support directions (static).
+        hull_mode: "polygon" (default) = exact polygon area/perimeter of the
+            convex hull; "reference" = the reference's rasterize-and-remeasure
+            procedure (``utils/metrics.py:42-48``), which reports ~3% longer
+            hull perimeters and hence ~+0.03 deformability on realistic cell
+            masks — use it when numbers must line up with reference output.
 
     Returns:
         dict of (K,) arrays keyed by :data:`METRIC_KEYS`. Empty masks yield
@@ -299,7 +379,12 @@ def batched_cell_metrics(
     aspect = jnp.where((x_len > 0) & (y_len > 0), x_len / jnp.maximum(y_len, 1.0), 0.0)
 
     perim = perimeter_4n(m)
-    hull_area, hull_perim = convex_hull_measures(m, num_directions)
+    if hull_mode == "reference":
+        hull_area, hull_perim = rasterized_hull_measures(m, num_directions)
+    elif hull_mode == "polygon":
+        hull_area, hull_perim = convex_hull_measures(m, num_directions)
+    else:
+        raise ValueError(f"unknown hull_mode: {hull_mode!r}")
     area_ratio = jnp.where(nonempty, hull_area / safe_area, 0.0)
     circularity = jnp.where(
         hull_perim > 0,
@@ -338,12 +423,16 @@ def batched_cell_metrics(
     }
 
 
-@functools.partial(jax.jit, static_argnames=("num_directions",))
-def _single_metrics_jit(mask, gray, num_directions=256):
-    return batched_cell_metrics(mask[None], gray, num_directions=num_directions)
+@functools.partial(jax.jit, static_argnames=("num_directions", "hull_mode"))
+def _single_metrics_jit(mask, gray, num_directions=256, hull_mode="polygon"):
+    return batched_cell_metrics(
+        mask[None], gray, num_directions=num_directions, hull_mode=hull_mode
+    )
 
 
-def calculate_metrics(image: np.ndarray, mask: np.ndarray) -> Dict[str, float]:
+def calculate_metrics(
+    image: np.ndarray, mask: np.ndarray, hull_mode: str = "polygon"
+) -> Dict[str, float]:
     """Single-cell host API, signature-compatible with the reference
     ``calculate_metrics(image, mask)`` (``utils/metrics.py:9-119``).
 
@@ -366,7 +455,7 @@ def calculate_metrics(image: np.ndarray, mask: np.ndarray) -> Dict[str, float]:
         f"Mask shape {mask.shape} does not match image shape {image.shape[:2]}"
     )
     gray = image.mean(axis=2).astype(np.float32)
-    out = _single_metrics_jit(jnp.asarray(mask), jnp.asarray(gray))
+    out = _single_metrics_jit(jnp.asarray(mask), jnp.asarray(gray), hull_mode=hull_mode)
     out = {key: np.asarray(v)[0] for key, v in out.items()}
     result: Dict[str, float] = {}
     for key in METRIC_KEYS:

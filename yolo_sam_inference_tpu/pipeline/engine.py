@@ -116,6 +116,10 @@ class PipelineOptions:
     # 640 training canvas. Set 640 to force ultralytics-default behavior.
     yolo_size: Optional[int] = None
     num_hull_directions: int = 256
+    # "polygon" = exact hull polygon measures (default); "reference" =
+    # rasterize-and-remeasure parity with the reference's procedure
+    # (see ops/metrics.py:rasterized_hull_measures for the measured delta)
+    hull_mode: str = "polygon"
     compute_dtype: Any = jnp.bfloat16  # encoder/decoder activations on TPU
     # SAM encoder canvas: None = native resolution (smallest of 256/512/768/
     # 1024 that fits the image) — the main TPU throughput lever; weights are
@@ -342,6 +346,7 @@ def metrics_stage(
         batched_cell_metrics,
         image_shape=image_hw,
         num_directions=opts.num_hull_directions,
+        hull_mode=opts.hull_mode,
     )
     return jax.vmap(lambda m, g, o: fn(m, g, offsets=o))(mask_crops, gray, offsets)
 
