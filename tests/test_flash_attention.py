@@ -1,5 +1,7 @@
 """Flash-attention kernel vs naive oracle (Pallas interpret mode on CPU)."""
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -74,3 +76,105 @@ def test_flash_bf16_io():
     np.testing.assert_allclose(
         np.asarray(got, dtype=np.float32), np.asarray(want), rtol=0.05, atol=0.02
     )
+
+
+# ------------------------------------------------------- grid (layout-native)
+
+
+def _oracle_grid_attention(qkv, rhw, heads, window):
+    """Numpy oracle for flash_attention_grid: window-confined attention with
+    the decomposed local rel-pos bias, straight from the qkv tensor."""
+    b, s, _, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    nw = s // window
+    q = np.asarray(qkv[..., :c], np.float32).reshape(b, s, s, heads, hd)
+    k = np.asarray(qkv[..., c : 2 * c], np.float32).reshape(b, s, s, heads, hd)
+    v = np.asarray(qkv[..., 2 * c :], np.float32).reshape(b, s, s, heads, hd)
+    rh = np.asarray(rhw[..., : heads * window], np.float32).reshape(
+        b, s, s, heads, window
+    )
+    rw = np.asarray(rhw[..., heads * window :], np.float32).reshape(
+        b, s, s, heads, window
+    )
+    out = np.zeros((b, s, s, heads, hd), np.float32)
+    n = window * window
+    ky = np.arange(n) // window
+    kx = np.arange(n) % window
+    for bi in range(b):
+        for wy in range(nw):
+            for wx in range(nw):
+                ys = slice(wy * window, (wy + 1) * window)
+                xs = slice(wx * window, (wx + 1) * window)
+                for h in range(heads):
+                    qw = q[bi, ys, xs, h].reshape(-1, hd)
+                    kw = k[bi, ys, xs, h].reshape(-1, hd)
+                    vw = v[bi, ys, xs, h].reshape(-1, hd)
+                    sc = qw @ kw.T * hd**-0.5
+                    sc += rh[bi, ys, xs, h].reshape(-1, window)[:, ky]
+                    sc += rw[bi, ys, xs, h].reshape(-1, window)[:, kx]
+                    p = np.exp(sc - sc.max(1, keepdims=True))
+                    p /= p.sum(1, keepdims=True)
+                    out[bi, ys, xs, h] = (p @ vw).reshape(window, window, hd)
+    return out.reshape(b, s, s, c)
+
+
+@pytest.mark.parametrize(
+    "window,bqy,bky",
+    [(4, None, None), (8, None, None), (8, 2, 4), (8, 4, 2), (4, 2, 2)],
+)
+def test_flash_grid_matches_oracle(window, bqy, bky):
+    from yolo_sam_inference_tpu.ops.flash_attention import flash_attention_grid
+
+    rng = np.random.default_rng(0)
+    b, s, heads, hd = 2, 8, 3, 16
+    c = heads * hd
+    qkv = jnp.asarray(rng.normal(size=(b, s, s, 3 * c)), jnp.float32)
+    rhw = jnp.asarray(rng.normal(size=(b, s, s, 2 * heads * window)) * 0.3,
+                      jnp.float32)
+    got = flash_attention_grid(qkv, rhw, heads=heads, window=window,
+                               block_qy=bqy, block_ky=bky, interpret=True)
+    want = _oracle_grid_attention(qkv, rhw, heads, window)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_vision_attention_grid_matches_naive_path():
+    """The full fused path (qkv + local rel tables + grid kernel) must equal
+    the window-partition + naive-attention path used on CPU."""
+    import dataclasses
+
+    from yolo_sam_inference_tpu.models.sam import sam_tiny_test, init_sam_params
+    from yolo_sam_inference_tpu.models.sam.model import (
+        _vision_attention,
+        _vision_attention_grid,
+        _window_partition,
+        _window_unpartition,
+    )
+    from yolo_sam_inference_tpu.ops import flash_attention as fa
+
+    cfg = sam_tiny_test()
+    params = init_sam_params(1, cfg)
+    lp = params["vision"]["layers"][0]["attn"]
+    # give the rel tables real values (init zeros would hide bias bugs)
+    rng = np.random.default_rng(3)
+    ws = cfg.window_size
+    lp["rel_pos_h"] = jnp.asarray(rng.normal(size=(2 * ws - 1, 16)) * 0.3,
+                                  jnp.float32)
+    lp["rel_pos_w"] = jnp.asarray(rng.normal(size=(2 * ws - 1, 16)) * 0.3,
+                                  jnp.float32)
+    s = 4  # grid 4, window 2
+    x = jnp.asarray(rng.normal(size=(2, s, s, cfg.vision_hidden)), jnp.float32)
+
+    win, padded = _window_partition(x, ws)
+    naive = _window_unpartition(
+        _vision_attention(lp, win, cfg.vision_heads, True), ws, padded, s
+    )
+
+    orig = fa.flash_attention_grid
+    fa.flash_attention_grid = functools.partial(orig, interpret=True)
+    try:
+        got = _vision_attention_grid(lp, x, cfg.vision_heads, ws)
+    finally:
+        fa.flash_attention_grid = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(naive),
+                               rtol=2e-3, atol=2e-3)

@@ -37,7 +37,26 @@ def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return x @ p["w"] + p["b"]
 
 
+def _ln_use_pallas(x: jnp.ndarray) -> bool:
+    """Dispatch LayerNorm to the Pallas one-pass kernel when it pays off:
+    TPU backend, lane-aligned channel count, enough rows to amortize the
+    launch. XLA's lowering measured ~7x off HBM speed-of-light at encoder
+    shapes (see ops/fused_ln.py)."""
+    c = x.shape[-1]
+    m = x.size // c
+    return (
+        jax.default_backend() != "cpu"
+        and c % 128 == 0
+        and m >= 4096
+        and m % 8 == 0
+    )
+
+
 def _layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    if _ln_use_pallas(x):
+        from ...ops.fused_ln import fused_ln
+
+        return fused_ln(x, p["scale"], p["bias"], eps=eps)
     if x.dtype == jnp.float32:
         mean = x.mean(axis=-1, keepdims=True)
         var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
@@ -53,6 +72,18 @@ def _layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     )
     inv = jax.lax.rsqrt(var + eps).astype(x.dtype)
     return d * inv * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def _add_layer_norm(
+    p: Params, x: jnp.ndarray, delta: jnp.ndarray, eps: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(x + delta, LayerNorm(x + delta)) — fused into one HBM pass on TPU."""
+    if _ln_use_pallas(x):
+        from ...ops.fused_ln import fused_add_ln
+
+        return fused_add_ln(x, delta, p["scale"], p["bias"], eps=eps)
+    y = x + delta
+    return y, _layer_norm(p, y, eps)
 
 
 def _softmax_fp32(logits: jnp.ndarray) -> jnp.ndarray:
@@ -92,6 +123,43 @@ def _vision_rel_bias(
 # from naive attention. Windowed layers (s = 14) and test-size grids stay
 # naive; 1024-input global layers (s = 64 -> N = 4096) go through flash.
 _FLASH_MIN_GRID = 32
+
+
+def _vision_attention_grid(
+    p: Params, x: jnp.ndarray, heads: int, window: int
+) -> jnp.ndarray:
+    """Window-confined ViT attention via the layout-native grid kernel.
+
+    x: (B, S, S, C), never window-partitioned — the kernel tiles windows via
+    its grid (pass window = S for global layers), reading q/k/v straight out
+    of the fused qkv tensor and writing (B, S, S, C). This removed the
+    window-relayout copies, (B,H,N,hd) head transposes and bias-augmentation
+    concats that dominated the r1 profile's copy bucket.
+    """
+    from ...ops.flash_attention import flash_attention_grid
+
+    b, s, _, c = x.shape
+    hd = c // heads
+    qkv = _linear(p["qkv"], x)  # (B, S, S, 3C)
+
+    idx = np.arange(window)[:, None] - np.arange(window)[None, :] + window - 1
+    rh_tab = p["rel_pos_h"][idx]  # (w, w, hd) [q_local, k_local]
+    rw_tab = p["rel_pos_w"][idx]
+    reps = s // window
+    th = jnp.tile(rh_tab, (reps, 1, 1)).astype(x.dtype)  # (S, w, hd) by y
+    tw = jnp.tile(rw_tab, (reps, 1, 1)).astype(x.dtype)
+    qp = qkv[..., :c].reshape(b, s, s, heads, hd)
+    rh = jnp.einsum("byxhc,ykc->byxhk", qp, th)
+    rw = jnp.einsum("byxhc,xkc->byxhk", qp, tw)
+    rhw = jnp.concatenate(
+        [
+            rh.reshape(b, s, s, heads * window),
+            rw.reshape(b, s, s, heads * window),
+        ],
+        axis=-1,
+    ).astype(x.dtype)
+    out = flash_attention_grid(qkv, rhw, heads=heads, window=window)
+    return _linear(p["proj"], out)
 
 
 def _vision_attention(
@@ -193,11 +261,45 @@ def sam_image_encoder(
     # eliminating two big relayout transposes per layer (a major HBM-copy
     # cost in the profile). With nonzero padding this would leak padded
     # state across layers, so it only engages when s % ws == 0.
+    # Grid-kernel path: windows tiled inside the attention kernel itself, so
+    # activations stay (B, S, S, C) for the whole stack — no partition
+    # relayouts, no head transposes. Engages on TPU for lane-aligned dims.
+    use_grid_attn = (
+        jax.default_backend() != "cpu"
+        and cfg.use_rel_pos
+        and cfg.vision_hidden % 128 == 0
+        and s % ws == 0
+    )
+    if use_grid_attn:
+        pending = None
+        for i in range(cfg.vision_layers):
+            lp = p["layers"][i]
+            wsl = s if i in cfg.global_attn_indexes else ws
+            if pending is not None:
+                x, h = _add_layer_norm(lp["ln1"], x, pending, cfg.layer_norm_eps)
+            else:
+                h = _layer_norm(lp["ln1"], x, cfg.layer_norm_eps)
+            h = _vision_attention_grid(lp["attn"], h, cfg.vision_heads, wsl)
+            x, h = _add_layer_norm(lp["ln2"], x, h, cfg.layer_norm_eps)
+            h = _linear(lp["mlp1"], h)
+            h = _gelu(h)
+            h = _linear(lp["mlp2"], h)
+            pending = h
+        x = x + pending
+        return _encoder_neck(p, x)
+
     persistent = s % ws == 0
     parted = False
+    pending = None  # mlp residual carried into the next layer's LN1 (fused)
     for i in range(cfg.vision_layers):
         lp = p["layers"][i]
         is_global = i in cfg.global_attn_indexes
+        boundary = persistent and (
+            (is_global and parted) or (not is_global and not parted)
+        )
+        if boundary and pending is not None:
+            x = x + pending  # repartition relayouts must see the summed x
+            pending = None
         if persistent:
             if is_global and parted:
                 x = _window_unpartition(x, ws, s, s)
@@ -205,8 +307,11 @@ def sam_image_encoder(
             elif not is_global and not parted:
                 x, _ = _window_partition(x, ws)
                 parted = True
-        shortcut = x
-        h = _layer_norm(lp["ln1"], x, cfg.layer_norm_eps)
+        if pending is not None:
+            x, h = _add_layer_norm(lp["ln1"], x, pending, cfg.layer_norm_eps)
+            pending = None
+        else:
+            h = _layer_norm(lp["ln1"], x, cfg.layer_norm_eps)
         if is_global:
             h = _vision_attention(lp["attn"], h, cfg.vision_heads, cfg.use_rel_pos)
         elif persistent:
@@ -215,16 +320,20 @@ def sam_image_encoder(
             win, padded = _window_partition(h, ws)
             win = _vision_attention(lp["attn"], win, cfg.vision_heads, cfg.use_rel_pos)
             h = _window_unpartition(win, ws, padded, s)
-        x = shortcut + h
-        h = _layer_norm(lp["ln2"], x, cfg.layer_norm_eps)
+        x, h = _add_layer_norm(lp["ln2"], x, h, cfg.layer_norm_eps)
         h = _linear(lp["mlp1"], h)
         h = _gelu(h)
         h = _linear(lp["mlp2"], h)
-        x = x + h
+        pending = h
+    if pending is not None:
+        x = x + pending
     if persistent and parted:
         x = _window_unpartition(x, ws, s, s)
+    return _encoder_neck(p, x)
 
-    # neck: 1x1 conv -> LN -> 3x3 conv -> LN (channels-last)
+
+def _encoder_neck(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """neck: 1x1 conv -> LN -> 3x3 conv -> LN (channels-last)."""
     n = p["neck"]
     y = jnp.einsum("bhwc,co->bhwo", x, n["conv1_w"])
     y = _layer_norm(n["ln1"], y, 1e-6)

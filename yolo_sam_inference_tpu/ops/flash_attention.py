@@ -209,6 +209,232 @@ def flash_attention_relpos(
     return out
 
 
+# --------------------------------------------------------------- grid kernel
+
+
+def _flash_grid_kernel(
+    q_ref, k_ref, v_ref, rhw_ref,  # inputs
+    o_ref,  # output
+    m_scr, l_scr, acc_scr,  # scratch, per-head state stacked on axis 0
+    *,
+    heads: int,
+    hd: int,
+    wsx: int,
+    wk: int,
+    bky: int,
+    num_k: int,
+    scale: float,
+):
+    ki = pl.program_id(2)
+    single = num_k == 1  # whole window per step: plain softmax, no scratch IO
+
+    if not single:
+        @pl.when(ki == 0)
+        def _():
+            m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    qt = q_ref[0]  # (bqy, wsx, C)
+    kt = k_ref[0]
+    vt = v_ref[0]
+    rhw = rhw_ref[0]  # (bqy, wsx, 2*heads*wk)
+    nq = qt.shape[0] * wsx
+    nk = kt.shape[0] * wsx
+    c = heads * hd
+    qf = qt.reshape(nq, c)
+    kf = kt.reshape(nk, c)
+    vf = vt.reshape(nk, c)
+    rhwf = rhw.reshape(nq, 2 * heads * wk)
+
+    # local (row, col) of each k token in this k block: rows are global
+    # window rows [ki*bky, ki*bky + bky), columns all wsx
+    kk = jax.lax.broadcasted_iota(jnp.int32, (wk, nk), 1)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (wk, nk), 0)
+    e_ky = (jrow == ki * bky + kk // wsx).astype(qf.dtype)  # (wk, nk)
+    e_kx = (jrow == kk % wsx).astype(qf.dtype)
+
+    outs = []
+    for h in range(heads):
+        q = qf[:, h * hd : (h + 1) * hd]
+        k = kf[:, h * hd : (h + 1) * hd]
+        v = vf[:, h * hd : (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q * q.dtype.type(scale),
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (nq, nk) fp32
+        rh = rhwf[:, h * wk : (h + 1) * wk]
+        rw = rhwf[:, (heads + h) * wk : (heads + h + 1) * wk]
+        s += jax.lax.dot_general(
+            rh, e_ky, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s += jax.lax.dot_general(
+            rw, e_kx, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        if single:
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp((s - m_cur).astype(v.dtype))  # bf16 exp (args <= 0)
+            l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+            o_h = jax.lax.dot_general(
+                p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / jnp.maximum(l, 1e-30)
+            outs.append(o_h)
+            continue
+
+        r0 = h * nq
+        m_prev = m_scr[r0 : r0 + nq, 0:1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp((s - m_new).astype(v.dtype))  # bf16 exp (args <= 0)
+        l_new = alpha * l_scr[r0 : r0 + nq, 0:1] + jnp.sum(
+            p, axis=1, keepdims=True, dtype=jnp.float32
+        )
+        acc_scr[r0 : r0 + nq, :] = acc_scr[r0 : r0 + nq, :] * alpha + jax.lax.dot_general(
+            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[r0 : r0 + nq, :] = jnp.broadcast_to(m_new, (nq, m_scr.shape[1]))
+        l_scr[r0 : r0 + nq, :] = jnp.broadcast_to(l_new, (nq, l_scr.shape[1]))
+
+    if single:
+        o = jnp.concatenate(outs, axis=-1)  # (nq, C) head-major channels
+        o_ref[0] = o.astype(o_ref.dtype).reshape(o_ref.shape[1], wsx, c)
+        return
+
+    @pl.when(ki == num_k - 1)
+    def _():
+        bqy = o_ref.shape[1]
+        fin = []
+        for h in range(heads):
+            r0 = h * nq
+            fin.append(
+                acc_scr[r0 : r0 + nq, :]
+                / jnp.maximum(l_scr[r0 : r0 + nq, 0:1], 1e-30)
+            )
+        o = jnp.concatenate(fin, axis=-1)  # (nq, C) head-major channels
+        o_ref[0] = o.astype(o_ref.dtype).reshape(bqy, wsx, c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "window", "block_qy", "block_ky", "interpret"),
+)
+def flash_attention_grid(
+    qkv: jnp.ndarray,
+    rhw: jnp.ndarray,
+    heads: int,
+    window: int,
+    block_qy: Optional[int] = None,
+    block_ky: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Windowed/global ViT attention straight from the fused qkv tensor.
+
+    Reads q/k/v tiles directly out of ``qkv`` (B, S, S, 3C) — channel layout
+    [q | k | v], head-major within each — and writes (B, S, S, C), so the
+    surrounding program needs NO window partition copies, NO (B,H,N,hd) head
+    transposes and NO bias-augmentation concats (together ~25% of device time
+    at bench shape before this kernel). Attention is confined to ``window`` x
+    ``window`` token blocks (pass window = S for global layers). The
+    decomposed rel-pos bias arrives as per-token score tables
+    ``rhw`` (B, S, S, 2*heads*window): rh || rw, built against LOCAL window
+    coordinates; inside the kernel each (q, k) bias tile is reconstructed
+    with two small iota-mask matmuls on the MXU.
+
+    Softmax is the standard online fp32 running-max/sum; the k loop streams
+    ``block_ky`` window rows at a time so gs=64 global layers fit VMEM.
+    """
+    b, s, s2, c3 = qkv.shape
+    assert s == s2 and c3 % 3 == 0
+    c = c3 // 3
+    hd = c // heads
+    assert window <= s and s % window == 0
+    nw = s // window
+    wk = window
+
+    # default tiles: <= 256 q tokens / <= 1024 k tokens per step — the
+    # per-head scratch (heads * nq rows x 128 lanes fp32) plus double-buffered
+    # blocks must fit the ~16 MB VMEM budget
+    if block_ky is None:
+        block_ky = max(d for d in range(1, window + 1)
+                       if window % d == 0 and d * window <= 1024)
+    if block_qy is None:
+        block_qy = (
+            max(d for d in range(1, window + 1)
+                if window % d == 0 and d * window <= 256)
+            if window > 16
+            else window
+        )
+    num_q = window // block_qy
+    num_k = window // block_ky
+    nq = block_qy * window
+    grid = (b * nw * nw, num_q, num_k)
+
+    def qmap(g, qi, ki):
+        wy, wx = (g // nw) % nw, g % nw
+        return (g // (nw * nw), wy * num_q + qi, wx, 0)
+
+    def kmap(g, qi, ki):
+        wy, wx = (g // nw) % nw, g % nw
+        return (g // (nw * nw), wy * num_k + ki, wx, 1)
+
+    def vmap_(g, qi, ki):
+        wy, wx = (g // nw) % nw, g % nw
+        return (g // (nw * nw), wy * num_k + ki, wx, 2)
+
+    def omap(g, qi, ki):
+        wy, wx = (g // nw) % nw, g % nw
+        return (g // (nw * nw), wy * num_q + qi, wx, 0)
+
+    kernel = functools.partial(
+        _flash_grid_kernel,
+        heads=heads,
+        hd=hd,
+        wsx=window,
+        wk=wk,
+        bky=block_ky,
+        num_k=num_k,
+        scale=hd ** -0.5,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_qy, window, c), qmap),
+            pl.BlockSpec((1, block_ky, window, c), kmap),
+            pl.BlockSpec((1, block_ky, window, c), vmap_),
+            pl.BlockSpec((1, block_qy, window, 2 * heads * wk), omap),
+        ],
+        out_specs=pl.BlockSpec((1, block_qy, window, c), omap),
+        out_shape=jax.ShapeDtypeStruct((b, s, s, c), qkv.dtype),
+        scratch_shapes=(
+            [  # online-softmax state, only touched when num_k > 1
+                pltpu.VMEM((heads * nq, 128), jnp.float32),
+                pltpu.VMEM((heads * nq, 128), jnp.float32),
+                pltpu.VMEM((heads * nq, hd), jnp.float32),
+            ]
+            if num_k > 1
+            else [
+                pltpu.VMEM((8, 128), jnp.float32),
+                pltpu.VMEM((8, 128), jnp.float32),
+                pltpu.VMEM((8, 128), jnp.float32),
+            ]
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rhw)
+    return out
+
+
 def reference_attention_relpos(q, k, v, rh, rw, grid_s):
     """Naive oracle with the same bias decomposition (for tests)."""
     bh, n, hd = q.shape
