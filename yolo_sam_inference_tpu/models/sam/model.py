@@ -126,7 +126,12 @@ _FLASH_MIN_GRID = 32
 
 
 def _vision_attention_grid(
-    p: Params, x: jnp.ndarray, heads: int, window: int
+    p: Params,
+    x: jnp.ndarray,
+    heads: int,
+    window: int,
+    ln: Optional[Params] = None,
+    eps: float = 1e-6,
 ) -> jnp.ndarray:
     """Window-confined ViT attention via the layout-native grid kernel.
 
@@ -140,7 +145,15 @@ def _vision_attention_grid(
 
     b, s, _, c = x.shape
     hd = c // heads
-    qkv = _linear(p["qkv"], x)  # (B, S, S, 3C)
+    if ln is not None:
+        # LN1 fused into the qkv projection (one HBM pass for both)
+        from ...ops.fused_ln import fused_ln_matmul
+
+        qkv = fused_ln_matmul(
+            x, ln["scale"], ln["bias"], p["qkv"]["w"], p["qkv"]["b"], eps=eps
+        )
+    else:
+        qkv = _linear(p["qkv"], x)  # (B, S, S, 3C)
 
     idx = np.arange(window)[:, None] - np.arange(window)[None, :] + window - 1
     rh_tab = p["rel_pos_h"][idx]  # (w, w, hd) [q_local, k_local]
@@ -158,8 +171,11 @@ def _vision_attention_grid(
         ],
         axis=-1,
     ).astype(x.dtype)
-    out = flash_attention_grid(qkv, rhw, heads=heads, window=window)
-    return _linear(p["proj"], out)
+    # output projection fused into the kernel (its weight sits in VMEM)
+    return flash_attention_grid(
+        qkv, rhw, heads=heads, window=window,
+        wproj=p["proj"]["w"], bproj=p["proj"]["b"],
+    )
 
 
 def _vision_attention(
@@ -271,21 +287,39 @@ def sam_image_encoder(
         and s % ws == 0
     )
     if use_grid_attn:
+        # fused block tail (add+LN+MLP in one kernel) needs both MLP weight
+        # matrices resident in VMEM: ViT-B (768x3072 bf16 x2 = 9 MB) yes,
+        # ViT-L/H no — they fall back to the unfused tail
+        fuse_tail = cfg.vision_hidden * cfg.vision_mlp_dim <= 2_400_000
         pending = None
         for i in range(cfg.vision_layers):
             lp = p["layers"][i]
             wsl = s if i in cfg.global_attn_indexes else ws
             if pending is not None:
-                x, h = _add_layer_norm(lp["ln1"], x, pending, cfg.layer_norm_eps)
+                x = x + pending
+                pending = None
+            h = _vision_attention_grid(
+                lp["attn"], x, cfg.vision_heads, wsl,
+                ln=lp["ln1"], eps=cfg.layer_norm_eps,
+            )
+            if fuse_tail:
+                from ...ops.fused_ln import fused_ln_mlp
+
+                x = fused_ln_mlp(
+                    x, h,
+                    lp["ln2"]["scale"], lp["ln2"]["bias"],
+                    lp["mlp1"]["w"], lp["mlp1"]["b"],
+                    lp["mlp2"]["w"], lp["mlp2"]["b"],
+                    eps=cfg.layer_norm_eps,
+                )
             else:
-                h = _layer_norm(lp["ln1"], x, cfg.layer_norm_eps)
-            h = _vision_attention_grid(lp["attn"], h, cfg.vision_heads, wsl)
-            x, h = _add_layer_norm(lp["ln2"], x, h, cfg.layer_norm_eps)
-            h = _linear(lp["mlp1"], h)
-            h = _gelu(h)
-            h = _linear(lp["mlp2"], h)
-            pending = h
-        x = x + pending
+                x, h = _add_layer_norm(lp["ln2"], x, h, cfg.layer_norm_eps)
+                h = _linear(lp["mlp1"], h)
+                h = _gelu(h)
+                h = _linear(lp["mlp2"], h)
+                pending = h
+        if pending is not None:
+            x = x + pending
         return _encoder_neck(p, x)
 
     persistent = s % ws == 0

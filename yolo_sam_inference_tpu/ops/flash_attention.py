@@ -213,10 +213,7 @@ def flash_attention_relpos(
 
 
 def _flash_grid_kernel(
-    q_ref, k_ref, v_ref, rhw_ref,  # inputs
-    o_ref,  # output
-    m_scr, l_scr, acc_scr,  # scratch, per-head state stacked on axis 0
-    *,
+    *refs,
     heads: int,
     hd: int,
     wsx: int,
@@ -224,7 +221,14 @@ def _flash_grid_kernel(
     bky: int,
     num_k: int,
     scale: float,
+    fuse_proj: bool,
 ):
+    if fuse_proj:
+        (q_ref, k_ref, v_ref, rhw_ref, wp_ref, bp_ref,
+         o_ref, m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, rhw_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        wp_ref = bp_ref = None
     ki = pl.program_id(2)
     single = num_k == 1  # whole window per step: plain softmax, no scratch IO
 
@@ -303,14 +307,26 @@ def _flash_grid_kernel(
         m_scr[r0 : r0 + nq, :] = jnp.broadcast_to(m_new, (nq, m_scr.shape[1]))
         l_scr[r0 : r0 + nq, :] = jnp.broadcast_to(l_new, (nq, l_scr.shape[1]))
 
+    def write_out(o):
+        # o: (nq, C) fp32/f32-accumulated attention output, head-major
+        o = o.astype(o_ref.dtype)
+        if fuse_proj:
+            o = (
+                jax.lax.dot_general(
+                    o, wp_ref[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bp_ref[...]
+            ).astype(o_ref.dtype)
+        o_ref[0] = o.reshape(o_ref.shape[1], wsx, c)
+
     if single:
-        o = jnp.concatenate(outs, axis=-1)  # (nq, C) head-major channels
-        o_ref[0] = o.astype(o_ref.dtype).reshape(o_ref.shape[1], wsx, c)
+        write_out(jnp.concatenate(outs, axis=-1))
         return
 
     @pl.when(ki == num_k - 1)
     def _():
-        bqy = o_ref.shape[1]
         fin = []
         for h in range(heads):
             r0 = h * nq
@@ -318,8 +334,7 @@ def _flash_grid_kernel(
                 acc_scr[r0 : r0 + nq, :]
                 / jnp.maximum(l_scr[r0 : r0 + nq, 0:1], 1e-30)
             )
-        o = jnp.concatenate(fin, axis=-1)  # (nq, C) head-major channels
-        o_ref[0] = o.astype(o_ref.dtype).reshape(bqy, wsx, c)
+        write_out(jnp.concatenate(fin, axis=-1))
 
 
 @functools.partial(
@@ -333,6 +348,8 @@ def flash_attention_grid(
     window: int,
     block_qy: Optional[int] = None,
     block_ky: Optional[int] = None,
+    wproj: Optional[jnp.ndarray] = None,
+    bproj: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Windowed/global ViT attention straight from the fused qkv tensor.
@@ -393,6 +410,7 @@ def flash_attention_grid(
         wy, wx = (g // nw) % nw, g % nw
         return (g // (nw * nw), wy * num_q + qi, wx, 0)
 
+    fuse_proj = wproj is not None
     kernel = functools.partial(
         _flash_grid_kernel,
         heads=heads,
@@ -402,16 +420,28 @@ def flash_attention_grid(
         bky=block_ky,
         num_k=num_k,
         scale=hd ** -0.5,
+        fuse_proj=fuse_proj,
     )
+    in_specs = [
+        pl.BlockSpec((1, block_qy, window, c), qmap),
+        pl.BlockSpec((1, block_ky, window, c), kmap),
+        pl.BlockSpec((1, block_ky, window, c), vmap_),
+        pl.BlockSpec((1, block_qy, window, 2 * heads * wk), omap),
+    ]
+    inputs = [qkv, qkv, qkv, rhw]
+    if fuse_proj:
+        in_specs += [
+            pl.BlockSpec((c, c), lambda g, qi, ki: (0, 0)),
+            pl.BlockSpec((1, c), lambda g, qi, ki: (0, 0)),
+        ]
+        inputs += [
+            wproj.astype(qkv.dtype),
+            bproj.reshape(1, c).astype(jnp.float32),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_qy, window, c), qmap),
-            pl.BlockSpec((1, block_ky, window, c), kmap),
-            pl.BlockSpec((1, block_ky, window, c), vmap_),
-            pl.BlockSpec((1, block_qy, window, 2 * heads * wk), omap),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_qy, window, c), omap),
         out_shape=jax.ShapeDtypeStruct((b, s, s, c), qkv.dtype),
         scratch_shapes=(
@@ -431,7 +461,7 @@ def flash_attention_grid(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qkv, qkv, qkv, rhw)
+    )(*inputs)
     return out
 
 

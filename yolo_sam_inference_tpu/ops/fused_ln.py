@@ -89,6 +89,169 @@ def fused_add_ln(x, res, scale, bias, eps: float = 1e-6, interpret: bool = False
     return y.reshape(orig_shape), ln.reshape(orig_shape)
 
 
+def _erf_as(x):
+    """Abramowitz-Stegun 7.1.26 erf approximation (fp32, |err| <= 1.5e-7)."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _ln_mlp_kernel(
+    x_ref, a_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    o_ref, *, eps: float,
+):
+    """out = (x + a) + mlp(LayerNorm(x + a)) — the transformer-block tail in
+    one pass; the (bm, hidden) activation lives only in VMEM."""
+    y = x_ref[...] + a_ref[...]
+    ln = _ln_rows(y, s_ref[...], b_ref[...], eps)
+    hidden = w1_ref.shape[-1]
+    # split the hidden dim so the gelu (VPU) of one chunk can overlap the
+    # next chunk's matmuls (MXU) in Mosaic's schedule — the three ops are
+    # otherwise a serial dependency chain
+    chunks = 4 if hidden % 4 == 0 else 1
+    ch = hidden // chunks
+    out = b2_ref[...]
+    for i in range(chunks):
+        h = (
+            jax.lax.dot_general(
+                ln, w1_ref[:, i * ch : (i + 1) * ch],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b1_ref[:, i * ch : (i + 1) * ch]
+        )
+        # erf-GELU, matching torch.nn.GELU default; Pallas TPU has no erf
+        # primitive, so use Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7 —
+        # orders of magnitude below bf16 resolution). fp32 throughout: a
+        # bf16 polynomial measured ~5% relative error.
+        h = h * 0.5 * (1.0 + _erf_as(h * (2.0 ** -0.5)))
+        h = h.astype(y.dtype)
+        out = out + jax.lax.dot_general(
+            h, w2_ref[i * ch : (i + 1) * ch, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[...] = y + out.astype(y.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_rows", "interpret"))
+def fused_ln_mlp(
+    x, attn, scale, bias, w1, b1, w2, b2,
+    eps: float = 1e-6,
+    block_rows: int = 256,
+    interpret: bool = False,
+):
+    """Fused transformer-block tail:
+    ``(x + attn) + mlp2(gelu(mlp1(LayerNorm(x + attn))))``.
+
+    Both MLP weight matrices stay resident in VMEM (use only when
+    2*(C*hidden) fits, e.g. ViT-B: 9 MB bf16) and the (rows, hidden)
+    activation never touches HBM — replacing ~670 MB/layer of XLA traffic
+    (add + LN + two batched dots + gelu round-trips) with 96 MB read +
+    48 MB write at bench shape.
+    """
+    orig_shape = x.shape
+    c = x.shape[-1]
+    hidden = w1.shape[-1]
+    m = x.size // c
+    bm = _pick_bm(m, c, block_rows)
+    x2 = x.reshape(m, c)
+    a2 = attn.reshape(m, c)
+    grid = (m // bm,)
+    row = lambda i: (i, 0)
+    full = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_ln_mlp_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, c), row),
+            pl.BlockSpec((bm, c), row),
+            pl.BlockSpec((1, c), full),
+            pl.BlockSpec((1, c), full),
+            pl.BlockSpec((c, hidden), full),
+            pl.BlockSpec((1, hidden), full),
+            pl.BlockSpec((hidden, c), full),
+            pl.BlockSpec((1, c), full),
+        ],
+        out_specs=pl.BlockSpec((bm, c), row),
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        x2,
+        a2,
+        scale.reshape(1, c).astype(x.dtype),
+        bias.reshape(1, c).astype(x.dtype),
+        w1.astype(x.dtype),
+        b1.reshape(1, hidden).astype(jnp.float32),
+        w2.astype(x.dtype),
+        b2.reshape(1, c).astype(jnp.float32),
+    )
+    return out.reshape(orig_shape)
+
+
+def _ln_matmul_kernel(x_ref, s_ref, b_ref, w_ref, wb_ref, o_ref, *, eps: float):
+    """out = LayerNorm(x) @ W + b in one pass (W resident in VMEM)."""
+    ln = _ln_rows(x_ref[...], s_ref[...], b_ref[...], eps)
+    out = jax.lax.dot_general(
+        ln, w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + wb_ref[...]
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_rows", "interpret"))
+def fused_ln_matmul(
+    x, scale, bias, w, b,
+    eps: float = 1e-6,
+    block_rows: int = 256,
+    interpret: bool = False,
+):
+    """``LayerNorm(x) @ W + b`` fused — used for the encoder's LN1 + qkv
+    projection (the LN output never round-trips HBM). W stays VMEM-resident;
+    at ViT-H qkv size (1280x3840 bf16 = 9.8 MB) it still fits."""
+    orig_shape = x.shape
+    c = x.shape[-1]
+    o = w.shape[-1]
+    m = x.size // c
+    bm = _pick_bm(m, c, block_rows)
+    grid = (m // bm,)
+    row = lambda i: (i, 0)
+    full = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_ln_matmul_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, c), row),
+            pl.BlockSpec((1, c), full),
+            pl.BlockSpec((1, c), full),
+            pl.BlockSpec((c, o), full),
+            pl.BlockSpec((1, o), full),
+        ],
+        out_specs=pl.BlockSpec((bm, o), row),
+        out_shape=jax.ShapeDtypeStruct((m, o), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        x.reshape(m, c),
+        scale.reshape(1, c).astype(x.dtype),
+        bias.reshape(1, c).astype(x.dtype),
+        w.astype(x.dtype),
+        b.reshape(1, o).astype(jnp.float32),
+    )
+    return out.reshape(*orig_shape[:-1], o)
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def fused_ln(x, scale, bias, eps: float = 1e-6, interpret: bool = False):
     """LayerNorm(x) * scale + bias in one HBM pass (no residual input)."""

@@ -198,6 +198,26 @@ def _hull_candidate_scores(
     return pts, scores, any_mask
 
 
+def _select_support_points(pts: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray:
+    """Per-direction support points WITHOUT a gather.
+
+    ``take_along_axis(pts, argmax(scores))`` measured 1.5 ms/iter at bench
+    shape (element gathers are pathological on TPU). Instead the tied-max
+    candidates are reduced with an exact integer key ``(2r+2)*4096 + (2c+2)``
+    (coordinates are half-integer, |coord| < 512, so the key is exact in
+    fp32 below 2^23): select-where-max + max-reduce + decode, all fusable
+    elementwise/reduce ops. Tie-break picks the tied point with max (r, c) —
+    a true extreme of the supporting segment, so hull geometry is unchanged.
+    """
+    mx = scores.max(axis=1, keepdims=True)  # (K, 1, D)
+    key = (2.0 * pts[..., 0] + 2.0) * 4096.0 + (2.0 * pts[..., 1] + 2.0)  # (K, N)
+    vk = jnp.where(scores >= mx, key[:, :, None], -1.0).max(axis=1)  # (K, D)
+    a = jnp.floor(vk / 4096.0)
+    r = (a - 2.0) * 0.5
+    c = (vk - a * 4096.0 - 2.0) * 0.5
+    return jnp.stack([r, c], axis=-1)  # (K, D, 2)
+
+
 def convex_hull_measures(
     masks: jnp.ndarray, num_directions: int = 256
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -208,8 +228,7 @@ def convex_hull_measures(
     convention, reference ``utils/metrics.py:31-40``). Zero for empty masks.
     """
     pts, scores, any_mask = _hull_candidate_scores(masks, num_directions)
-    arg = jnp.argmax(scores, axis=1)  # (K, D)
-    verts = jnp.take_along_axis(pts, arg[:, :, None], axis=1)  # (K, D, 2)
+    verts = _select_support_points(pts, scores)
 
     nxt = jnp.roll(verts, shift=-1, axis=1)
     cross = verts[..., 0] * nxt[..., 1] - nxt[..., 0] * verts[..., 1]
@@ -245,8 +264,7 @@ def rasterized_hull_measures(
     m = masks.astype(jnp.float32)
     k, h, w = m.shape
     pts, scores, any_mask = _hull_candidate_scores(masks, num_directions)
-    arg = jnp.argmax(scores, axis=1)  # (K, D)
-    verts = jnp.take_along_axis(pts, arg[:, :, None], axis=1)  # (K, D, 2) CCW
+    verts = _select_support_points(pts, scores)  # (K, D, 2) CCW
 
     # The vertex polygon is the intersection of its D edge half-planes
     # n.(p - v_i) <= 0 with n the outward edge normal. In angular vertex
