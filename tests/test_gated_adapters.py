@@ -1,0 +1,244 @@
+"""Exercise the import-gated live-service adapters against protocol fakes.
+
+Coverage for the modules VERDICT r1 flagged as never executed: the Postgres
+manifest (``registry/postgres.py`` — reference ``tools/postgres_data_create.py:427-722``),
+MLflow tracking (``registry/tracking.py`` + ``utils/model_loader.py`` —
+reference ``utils/model_loader.py:9-118``), and the MinIO batch readout /
+fetcher (``registry/readout.py`` / ``registry/nodes.py`` — reference
+``tools/mib_batch_readout.py:90-164``). The fakes in ``tests/fakes.py``
+implement the client API semantically, so adapter logic really runs.
+"""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from fakes import (
+    FakeMinioStore,
+    FakeMlflowState,
+    FakePgStore,
+    make_fake_minio,
+    make_fake_mlflow,
+    make_fake_psycopg2,
+)
+
+
+@pytest.fixture
+def pg(monkeypatch):
+    store = FakePgStore()
+    monkeypatch.setitem(sys.modules, "psycopg2", make_fake_psycopg2(store))
+    return store
+
+
+@pytest.fixture
+def mlflow_state(monkeypatch, tmp_path):
+    state = FakeMlflowState(artifact_root=tmp_path)
+    monkeypatch.setitem(sys.modules, "mlflow", make_fake_mlflow(state))
+    return state
+
+
+@pytest.fixture
+def minio_store(monkeypatch):
+    store = FakeMinioStore()
+    monkeypatch.setitem(sys.modules, "minio", make_fake_minio(store))
+    return store
+
+
+# ------------------------------------------------------------------- postgres
+
+
+def test_postgres_manifest_full_flow(pg):
+    from yolo_sam_inference_tpu.registry.postgres import PostgresManifest, ensure_database
+
+    ensure_database("newdb")
+    assert "newdb" in pg.databases
+
+    m = PostgresManifest(table="images", template="experiment")
+    assert "idx_images_results_gin" in pg.indexes
+
+    n = m.ingest(["a.png", "b.png", "c.png"])
+    assert n == 3
+    # re-ingest upserts (no duplicate rows)
+    m.ingest(["b.png", "d.png"])
+    assert len(pg.table("images")) == 4
+
+    assert m.pending() == ["a.png", "b.png", "c.png", "d.png"]
+    assert m.pending(limit=2) == ["a.png", "b.png"]
+
+    m.record_result("a.png", [{"area": 10, "deformability": 0.2}])
+    m.record_result("b.png", [], empty=True)
+    m.record_result("c.png", [{"area": 5}])  # no deformability key
+    m.record_error("d.png", "boom")
+    assert m.pending() == []
+
+    s = m.summary()
+    assert s["total"] == 4
+    assert s["completed"] == 3
+    assert s["errors"] == 1
+    assert s["empty"] == 1
+    # only a.png has a result element carrying the deformability key — the
+    # r1-advisor bug made this equal `completed`; the fixed query must not
+    assert s["with_deformability"] == 1
+    assert s["percent_complete"] == pytest.approx(75.0)
+
+
+def test_postgres_ingest_from_tracking_prefix_and_extensions(pg):
+    from yolo_sam_inference_tpu.registry.postgres import PostgresManifest
+
+    pg.tables["minio_tracking.objects"] = [
+        {"object_path": "runA/f1.png"},
+        {"object_path": "runA/f2.TIFF"},  # ILIKE: case-insensitive match
+        {"object_path": "runA/notes.txt"},  # not an image
+        {"object_path": "runB/f3.png"},  # wrong prefix
+    ]
+    m = PostgresManifest(table="work")
+    n = m.ingest_from_tracking("runA/")
+    assert n == 2
+    assert m.pending() == ["runA/f1.png", "runA/f2.TIFF"]
+    # DO NOTHING on conflict: re-running adds nothing
+    assert m.ingest_from_tracking("runA/") == 0
+
+
+def test_postgres_error_then_retry_via_record_result(pg):
+    from yolo_sam_inference_tpu.registry.postgres import PostgresManifest
+
+    m = PostgresManifest()
+    m.ingest(["x.png"])
+    m.record_error("x.png", "transient")
+    assert m.pending() == []  # errored rows are not pending
+    m.record_result("x.png", [{"area": 1}])  # retry clears the error
+    assert m.summary()["errors"] == 0
+
+
+def test_psycopg2_missing_raises_clear_error(monkeypatch):
+    monkeypatch.setitem(sys.modules, "psycopg2", None)
+    from yolo_sam_inference_tpu.registry.postgres import _connect
+
+    with pytest.raises((RuntimeError, ImportError)):
+        _connect()
+
+
+# --------------------------------------------------------------------- mlflow
+
+
+def test_tracked_run_logs_and_finishes(mlflow_state, tmp_path):
+    from yolo_sam_inference_tpu.registry.tracking import tracked_run
+
+    art = tmp_path / "cell_metrics.csv"
+    art.write_text("area\n1\n")
+    with tracked_run("exp", run_name="r1") as t:
+        assert t.enabled
+        t.log_params({"batch": 8, "model": "vit-b"})
+        t.log_metrics({"cells": 12, "skipme": None})
+        t.log_artifact(art)
+        t.log_artifact(tmp_path / "missing.csv")  # warns, doesn't raise
+        t.log_run_outputs(tmp_path)
+
+    assert mlflow_state.experiment == "exp"
+    run = mlflow_state.runs[-1]
+    assert run["status"] == "FINISHED"
+    assert run["params"] == {"batch": "8", "model": "vit-b"}
+    assert run["metrics"] == {"cells": 12.0}
+    # logged once directly + once via log_run_outputs
+    assert run["artifacts"].count(str(art)) == 2
+
+
+def test_tracked_run_marks_failed_on_exception(mlflow_state):
+    from yolo_sam_inference_tpu.registry.tracking import tracked_run
+
+    with pytest.raises(ValueError):
+        with tracked_run("exp") as t:
+            raise ValueError("boom")
+    assert mlflow_state.runs[-1]["status"] == "FAILED"
+
+
+def test_tracked_run_disabled_yields_null_tracker():
+    from yolo_sam_inference_tpu.registry.tracking import tracked_run
+
+    with tracked_run("exp", enabled=False) as t:
+        assert not t.enabled
+        t.log_metrics({"x": 1})  # all no-ops
+
+
+def test_load_model_from_mlflow_run(mlflow_state, tmp_path):
+    ckpt = tmp_path / "best.pt"
+    ckpt.write_bytes(b"weights")
+    mlflow_state.run_artifacts["run123"] = {"weights/best.pt": str(ckpt)}
+
+    from yolo_sam_inference_tpu.utils.model_loader import (
+        load_model_from_mlflow,
+        resolve_checkpoint,
+    )
+
+    assert load_model_from_mlflow("0", "run123") == str(ckpt)
+    # the mlflow:<run>/<artifact> reference syntax routes through the same path
+    assert resolve_checkpoint("mlflow:run123/weights/best.pt") == str(ckpt)
+
+
+def test_load_model_from_registry_latest_version(mlflow_state, tmp_path):
+    v1 = tmp_path / "v1.pt"
+    v2 = tmp_path / "v2.pt"
+    v1.write_bytes(b"1")
+    v2.write_bytes(b"2")
+    mlflow_state.registered["cell-yolo"] = {"1": str(v1), "2": str(v2)}
+
+    from yolo_sam_inference_tpu.utils.model_loader import load_model_from_registry
+
+    # no version given -> resolves the numerically-latest version
+    assert load_model_from_registry("cell-yolo", tracking_uri="http://mlflow") == str(v2)
+    assert mlflow_state.tracking_uri == "http://mlflow"
+    assert load_model_from_registry("cell-yolo", model_version="1") == str(v1)
+
+    with pytest.raises(ValueError, match="No versions"):
+        load_model_from_registry("unknown-model")
+
+
+# ---------------------------------------------------------------------- minio
+
+
+def _csv_bytes(rows: str) -> bytes:
+    return rows.encode()
+
+
+def test_combine_minio_batches_fetch_and_upload(minio_store):
+    minio_store.objects[("erb-g07", "run/batch_001/batch_data.csv")] = _csv_bytes(
+        "area,deformability\n10,0.1\n"
+    )
+    minio_store.objects[("erb-g07", "run/batch_002/batch_data.csv")] = _csv_bytes(
+        "area,deformability\n20,0.2\n30,0.3\n"
+    )
+    minio_store.objects[("erb-g07", "run/batch_002/other.txt")] = b"ignore"
+
+    from yolo_sam_inference_tpu.registry.readout import combine_minio_batches
+
+    df = combine_minio_batches(bucket="erb-g07", prefix="run/")
+    assert len(df) == 3
+    assert sorted(df["batch"].unique()) == ["batch_001", "batch_002"]
+    # combined result re-uploaded to the bucket (reference mib_batch_readout)
+    assert ("erb-g07", "run/combined_output.csv") in minio_store.objects
+    up = minio_store.objects[("erb-g07", "run/combined_output.csv")]
+    assert b"deformability" in up
+
+    # the uploaded combined file does not match the batch_data.csv pattern,
+    # so a re-run is idempotent
+    df2 = combine_minio_batches(bucket="erb-g07", prefix="run/", upload=False)
+    assert len(df2) == 3
+
+
+def test_minio_fetcher_decodes_bucket_object_paths(minio_store):
+    from PIL import Image
+
+    img = np.zeros((6, 8, 3), dtype=np.uint8)
+    img[2:4, 3:6] = (255, 10, 0)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    minio_store.objects[("erb-g07", "frames/f 1.png")] = buf.getvalue()
+
+    from yolo_sam_inference_tpu.registry.nodes import minio_fetcher
+
+    fetch = minio_fetcher(endpoint="fake:9000")
+    # %20 exercises the adapter's unquote of URL-encoded object paths
+    out = fetch("erb-g07/frames/f%201.png")
+    np.testing.assert_array_equal(out, img)
