@@ -158,11 +158,16 @@ def test_data_parallel_inference_actually_sharded(_tiny_setup):
     pipe = CellSegmentationPipeline(sam_config=scfg, yolo_config=ycfg,
                                     options=opts, mesh=mesh)
     imgs = np.zeros((8, 96, 128, 3), dtype=np.uint8)
+    imgs[..., 1] = 1  # distinct channels -> full-RGB transfer path
     dev, b = pipe._images_to_device(imgs)
     assert b == 8
     assert len(dev.sharding.device_set) == 8
     shard_shapes = {s.data.shape for s in dev.addressable_shards}
     assert shard_shapes == {(1, 96, 128, 3)}
+    # replicated-RGB input takes the single-channel transfer path, sharded
+    # the same way
+    dev_g, _ = pipe._images_to_device(np.zeros((8, 96, 128, 3), dtype=np.uint8))
+    assert {s.data.shape for s in dev_g.addressable_shards} == {(1, 96, 128)}
 
 
 def test_num_pipelines_maps_to_batch_multiplier():

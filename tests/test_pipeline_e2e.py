@@ -77,6 +77,37 @@ def test_invalid_cells_zeroed(tiny_pipeline):
     assert (~out["mask_crops"][invalid].any(axis=(-2, -1))).all()
 
 
+def test_grayscale_transfer_path_matches_rgb(tiny_pipeline):
+    """Replicated-RGB batches take the 1-channel host->device transfer path
+    (engine._images_to_device) and must produce identical outputs."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    gray = np.stack([make_cell_image(rng)[..., 0] for _ in range(2)])
+    rgb = np.repeat(gray[..., None], 3, axis=-1)
+
+    dev, b = tiny_pipeline._images_to_device(rgb)
+    assert dev.ndim == 3 and b == 2  # the gray fast path actually engaged
+
+    # RGB route (4D device input) vs gray route (3D) through the same program
+    h, w = rgb.shape[1:3]
+    st = tiny_pipeline._stages(h, w)
+    out4 = st["fused"](st["yolo_params"], st["sam_params"], jnp.asarray(rgb))
+    out3 = st["fused"](st["yolo_params"], st["sam_params"], jnp.asarray(gray))
+    names = ("boxes", "scores", "valid", "mask_crops", "offsets", "metrics")
+    for name, a, b4 in zip(names, out3, out4):
+        if name == "metrics":
+            for key in METRIC_KEYS:
+                np.testing.assert_allclose(
+                    np.asarray(a[key]), np.asarray(b4[key]), rtol=1e-6, atol=1e-6,
+                    err_msg=key,
+                )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b4), rtol=1e-6, atol=1e-6, err_msg=name
+            )
+
+
 def test_process_single_image_timing_schema(tiny_pipeline, tmp_path):
     from PIL import Image
 

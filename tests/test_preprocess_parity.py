@@ -110,6 +110,10 @@ def test_mask_iou_vs_torch_postprocessing(mask_threshold):
     want_masks = processor.post_process_masks(
         out.pred_masks, inputs["original_sizes"], inputs["reshaped_input_sizes"]
     )[0].numpy()[:, 0]  # (K, H, W) bool
+    want_logits = processor.post_process_masks(
+        out.pred_masks, inputs["original_sizes"], inputs["reshaped_input_sizes"],
+        binarize=False,
+    )[0].numpy()[:, 0]  # (K, H, W) fp32 logits at original resolution
 
     # ---- our route: on-device preprocess + crop sampling at original res
     from yolo_sam_inference_tpu.ops.preprocess import sam_preprocess_batch
@@ -120,7 +124,7 @@ def test_mask_iou_vs_torch_postprocessing(mask_threshold):
     low = np.asarray(low[0, :, 0])  # (K, 16, 16) logits
 
     scale_to_low = scale / (jcfg.image_size / jcfg.low_res_size)
-    ious = []
+    ious, conf_ious = [], []
     for k in range(2):
         crop = np.asarray(
             _bilinear_crop_sample(
@@ -136,4 +140,17 @@ def test_mask_iou_vs_torch_postprocessing(mask_threshold):
         inter = np.logical_and(a, b).sum()
         union = np.logical_or(a, b).sum()
         ious.append(inter / union if union else 1.0)
-    assert min(ious) >= 0.97, ious
+        # confident-pixel IoU: the residual divergence is interpolation-route
+        # rounding (ours: one low->original bilinear; HF: 16->64 bilinear, pad
+        # crop, ->original bilinear), which can only flip pixels whose
+        # upsampled logit sits at ~0. Random weights put MOST boundary pixels
+        # there (logit std ~0.1), the BASELINE's trained-checkpoint floor
+        # doesn't. Restricted to pixels where the HF logit is not razor-thin,
+        # the masks must meet the BASELINE IoU >= 0.99 bar.
+        lg = want_logits[k][:48, :48]
+        confident = np.abs(lg) > 0.02
+        ac, bc = a[confident], b[confident]
+        cu = np.logical_or(ac, bc).sum()
+        conf_ious.append(np.logical_and(ac, bc).sum() / cu if cu else 1.0)
+    assert min(ious) >= 0.97, ious  # all-pixel floor with random weights
+    assert min(conf_ious) >= 0.99, conf_ious  # BASELINE bar off the knife-edge

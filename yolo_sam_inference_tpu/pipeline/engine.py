@@ -146,10 +146,24 @@ class PipelineOptions:
 # Pure functions of (params, arrays); the engine jits them per input shape.
 
 
+def _ensure_rgb(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """Accept (B, H, W) grayscale or (B, H, W, 3) RGB batches.
+
+    Microscopy frames are usually single-channel stored as replicated RGB;
+    the engine transfers them host->device as one channel (3x fewer bytes on
+    the PCIe/tunnel link — the e2e pipeline's measured bottleneck) and
+    broadcasts back to RGB on device, where bandwidth is ample.
+    """
+    if images_u8.ndim == 3:
+        return jnp.broadcast_to(images_u8[..., None], (*images_u8.shape, 3))
+    return images_u8
+
+
 def detect_stage(
     yolo_params, images_u8: jnp.ndarray, ycfg: YoloConfig, opts: PipelineOptions
 ):
-    """uint8 (B, H, W, 3) -> boxes xyxy in original pixels, scores, valid."""
+    """uint8 (B, H, W[, 3]) -> boxes xyxy in original pixels, scores, valid."""
+    images_u8 = _ensure_rgb(images_u8)
     ysize = opts.yolo_size_for(images_u8.shape[1], images_u8.shape[2])
     lb, scale, (pad_x, pad_y) = letterbox_batch(images_u8, ysize)
     # params arrive pre-cast to compute_dtype (once, outside jit);
@@ -175,6 +189,13 @@ def detect_stage(
     return boxes, scores, valid
 
 
+def _gray_f32(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W[, 3]) uint8 -> (B, H, W) fp32 channel-mean brightness."""
+    if images_u8.ndim == 3:
+        return images_u8.astype(jnp.float32)
+    return images_u8.astype(jnp.float32).mean(axis=-1)
+
+
 def _cast_floating(tree, dtype):
     return jax.tree_util.tree_map(
         lambda x: x.astype(dtype)
@@ -187,8 +208,8 @@ def _cast_floating(tree, dtype):
 def embed_stage(
     sam_params, images_u8: jnp.ndarray, scfg: SamTPUConfig, opts: PipelineOptions
 ):
-    """uint8 (B, H, W, 3) -> SAM image embeddings (B, gs, gs, C)."""
-    pix, _, _ = sam_preprocess_batch(images_u8, scfg.image_size)
+    """uint8 (B, H, W[, 3]) -> SAM image embeddings (B, gs, gs, C)."""
+    pix, _, _ = sam_preprocess_batch(_ensure_rgb(images_u8), scfg.image_size)
     pix = pix.astype(opts.compute_dtype)
     if "tinyvit" in sam_params:
         from ..models.sam.tinyvit import TinyViTConfig, tinyvit_encoder
@@ -501,7 +522,7 @@ class CellSegmentationPipeline:
                 boxes, scores, valid = detect_stage(yp, img, ycfg, opts)
                 emb = embed_stage(sp, img, scfg, opts)
                 crops, offs = segment_stage(sp, emb, boxes, valid, (h, w), scfg, opts)
-                gray = img.astype(jnp.float32).mean(axis=-1)
+                gray = _gray_f32(img)
                 mets = metrics_stage(crops, offs, gray, (h, w), opts)
                 return boxes, scores, valid, crops, offs, mets
 
@@ -511,6 +532,10 @@ class CellSegmentationPipeline:
                 "segment": segment,
                 "metrics": metrics,
                 "fused": jax.jit(fused),
+                # device-side bitpack: mask crops cross the link at 1 bit/px
+                # instead of 1 byte/px (the d2h transfer is the stage path's
+                # second-largest cost on the tunneled backend)
+                "pack": jax.jit(lambda crops: jnp.packbits(crops, axis=-1)),
                 "sam_params": sam_params,
                 "yolo_params": yolo_params_c,
             }
@@ -521,8 +546,20 @@ class CellSegmentationPipeline:
     def _images_to_device(self, images: np.ndarray) -> Tuple[jnp.ndarray, int]:
         """Place a uint8 image batch on device. With a mesh, pad the batch to
         a dp multiple and shard it over 'dp' (weights are replicated in
-        :meth:`_stages`); returns (device array, original batch size)."""
+        :meth:`_stages`); returns (device array, original batch size).
+
+        Grayscale-as-RGB batches (all three channels identical — the usual
+        microscopy case) are transferred as a single channel: host->device
+        bytes are the pipeline's measured bottleneck, and the device
+        re-broadcasts to RGB for free (see :func:`_ensure_rgb`).
+        """
         b = int(images.shape[0])
+        if images.ndim == 4 and images.shape[-1] == 3:
+            c0 = images[..., 0]
+            if np.array_equal(c0, images[..., 1]) and np.array_equal(
+                c0, images[..., 2]
+            ):
+                images = np.ascontiguousarray(c0)
         if self.mesh is None:
             return jnp.asarray(images), b
         from ..parallel.mesh import data_sharding
@@ -544,7 +581,7 @@ class CellSegmentationPipeline:
         ``timings`` is given, accumulates real per-stage device seconds into
         the reference timing keys.
         """
-        b, h, w, _ = images.shape
+        h, w = images.shape[1], images.shape[2]
         st = self._stages(h, w)
 
         def timed(key, fn, *a):
@@ -561,8 +598,10 @@ class CellSegmentationPipeline:
         crops, offs = timed(
             "sam_inference_total", st["segment"], st["sam_params"], emb, boxes, valid
         )
-        gray = dev_images.astype(jnp.float32).mean(axis=-1)
+        gray = _gray_f32(dev_images)
         mets = timed("metrics_total", st["metrics"], crops, offs, gray)
+        cm = crops.shape[-1]
+        packed = st["pack"](crops)  # 1 bit/px across the link, unpack on host
 
         # [:b] drops dp-padding rows added by _images_to_device (no-op when
         # the mesh is absent or the batch already divides dp)
@@ -570,15 +609,17 @@ class CellSegmentationPipeline:
             "boxes": np.asarray(boxes)[:b],
             "scores": np.asarray(scores)[:b],
             "valid": np.asarray(valid)[:b],
-            "mask_crops": np.asarray(crops)[:b],
+            "mask_crops": np.unpackbits(np.asarray(packed)[:b], axis=-1)[
+                ..., :cm
+            ].astype(bool),
             "offsets": np.asarray(offs)[:b],
             "metrics": {k: np.asarray(v)[:b] for k, v in mets.items()},
         }
 
     def detect_batch_arrays(self, images: np.ndarray) -> Dict[str, np.ndarray]:
-        """YOLO-only path: uint8 (B, H, W, 3) -> boxes/scores/valid on host
+        """YOLO-only path: uint8 (B, H, W[, 3]) -> boxes/scores/valid on host
         (for detection-only tools like the frame cleaner)."""
-        b, h, w, _ = images.shape
+        h, w = images.shape[1], images.shape[2]
         st = self._stages(h, w)
         dev_images, b = self._images_to_device(images)
         boxes, scores, valid = st["detect"](st["yolo_params"], dev_images)
@@ -595,7 +636,7 @@ class CellSegmentationPipeline:
         outputs then carry the padded batch dimension — callers that need
         exactly the input batch should slice ``[:len(images)]``).
         """
-        b, h, w, _ = images.shape
+        h, w = images.shape[1], images.shape[2]
         st = self._stages(h, w)
         if self.mesh is not None:
             images, _ = self._images_to_device(np.asarray(images))
