@@ -79,6 +79,15 @@ def parse(tracedir: str, top: int = 40) -> None:
     print(f"total device-op time: {total/1e3/3:.2f} ms/iter (3 iters)")
     for name, dur in by_name.most_common(top):
         print(f"{dur/1e3/3:9.3f} ms  {name}")
+    # individual hot ops (full fusion names) for fine-grained attribution
+    by_full = collections.Counter()
+    for e in events:
+        if dev_pids and e["pid"] not in dev_pids:
+            continue
+        by_full[e["name"]] += e["dur"]
+    print("\n-- top individual ops --")
+    for name, dur in by_full.most_common(top):
+        print(f"{dur/1e3/3:9.3f} ms  {name}")
 
 
 if __name__ == "__main__":
