@@ -178,3 +178,31 @@ def test_vision_attention_grid_matches_naive_path():
         fa.flash_attention_grid = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(naive),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("s,window", [(8, 4), (8, 8), (4, 2)])
+def test_relpos_tables_matches_einsum(s, window):
+    """Pallas score-table builder == the einsum construction it replaces."""
+    from yolo_sam_inference_tpu.ops.flash_attention import relpos_tables
+
+    rng = np.random.default_rng(5)
+    b, heads, hd = 2, 3, 16
+    c = heads * hd
+    qkv = jnp.asarray(rng.normal(size=(b, s, s, 3 * c)), jnp.float32)
+    rel_h = jnp.asarray(rng.normal(size=(2 * window - 1, hd)), jnp.float32)
+    rel_w = jnp.asarray(rng.normal(size=(2 * window - 1, hd)), jnp.float32)
+
+    got = relpos_tables(qkv, rel_h, rel_w, heads=heads, window=window,
+                        interpret=True)
+
+    idx = np.arange(window)[:, None] - np.arange(window)[None, :] + window - 1
+    th = np.tile(np.asarray(rel_h)[idx], (s // window, 1, 1))
+    tw = np.tile(np.asarray(rel_w)[idx], (s // window, 1, 1))
+    qp = np.asarray(qkv[..., :c]).reshape(b, s, s, heads, hd)
+    rh = np.einsum("byxhc,ykc->byxhk", qp, th)
+    rw = np.einsum("byxhc,xkc->byxhk", qp, tw)
+    want = np.concatenate(
+        [rh.reshape(b, s, s, heads * window), rw.reshape(b, s, s, heads * window)],
+        axis=-1,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)

@@ -345,3 +345,39 @@ def test_load_yolo_params_state_dict_roundtrip(tmp_path):
     imgs = jnp.asarray(np.zeros((1, 128, 128, 3), dtype=np.float32))
     outs = yolo_forward(params, imgs, cfg)
     assert all(np.isfinite(np.asarray(o)).all() for o in jax.tree_util.tree_leaves(outs))
+
+
+def test_s2d_backbone_prefix_matches_native():
+    """Space-to-depth rewrite of stem..down4 is exactly the native prefix."""
+    import jax.numpy as jnp
+
+    from yolo_sam_inference_tpu.models.yolo import init_yolo_params, yolov8n
+    from yolo_sam_inference_tpu.models.yolo.model import _c2f, _conv, yolo_forward
+    from yolo_sam_inference_tpu.models.yolo.s2d import (
+        backbone_prefix_s2d,
+        transform_backbone_params,
+    )
+
+    cfg = yolov8n()
+    params = init_yolo_params(7, cfg)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+
+    b = params["backbone"]
+    h = _conv(b["stem"], x, stride=2)
+    h = _conv(b["down2"], h, stride=2)
+    h = _c2f(b["c2f2"], h, True)
+    h = _conv(b["down3"], h, stride=2)
+    p3_ref = _c2f(b["c2f3"], h, True)
+    x4_ref = _conv(b["down4"], p3_ref, stride=2)
+
+    s2d = transform_backbone_params(params)
+    p3, x4 = backbone_prefix_s2d(s2d, x)
+    np.testing.assert_allclose(np.asarray(p3), np.asarray(p3_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(x4), np.asarray(x4_ref), rtol=2e-5, atol=2e-5)
+
+    # and through the full forward (head + detect unchanged)
+    outs_ref = yolo_forward(params, x, cfg)
+    outs_s2d = yolo_forward(params, x, cfg, s2d_params=s2d)
+    for a, bb in zip(outs_ref, outs_s2d):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a), rtol=2e-5, atol=2e-5)

@@ -1,0 +1,39 @@
+"""Dump the optimized HLO of the fused bench program for op attribution.
+
+Writes the compiled module text to /tmp/fused_hlo.txt; pair with
+profile_bench.py's per-op table (fusion.NNN names match) to find what each
+hot generic fusion computes.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    from yolo_sam_inference_tpu.pipeline.engine import (
+        CellSegmentationPipeline,
+        PipelineOptions,
+    )
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    size = int(os.environ.get("BENCH_SIZE", "512"))
+    sam_model = os.environ.get("BENCH_SAM", "facebook/sam-vit-base")
+    opts = PipelineOptions(batch_size=batch, max_det=16, metric_crop=128)
+    pipe = CellSegmentationPipeline(sam_model_type=sam_model, options=opts)
+    st = pipe._stages(size, size)
+    img = jnp.zeros((batch, size, size, 3), dtype=jnp.uint8)
+    compiled = st["fused"].lower(st["yolo_params"], st["sam_params"], img).compile()
+    out = os.environ.get("HLO_OUT", "/tmp/fused_hlo.txt")
+    with open(out, "w") as f:
+        f.write(compiled.as_text())
+    print(f"wrote {out} ({os.path.getsize(out)/1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -155,22 +155,34 @@ def _vision_attention_grid(
     else:
         qkv = _linear(p["qkv"], x)  # (B, S, S, 3C)
 
-    idx = np.arange(window)[:, None] - np.arange(window)[None, :] + window - 1
-    rh_tab = p["rel_pos_h"][idx]  # (w, w, hd) [q_local, k_local]
-    rw_tab = p["rel_pos_w"][idx]
-    reps = s // window
-    th = jnp.tile(rh_tab, (reps, 1, 1)).astype(x.dtype)  # (S, w, hd) by y
-    tw = jnp.tile(rw_tab, (reps, 1, 1)).astype(x.dtype)
-    qp = qkv[..., :c].reshape(b, s, s, heads, hd)
-    rh = jnp.einsum("byxhc,ykc->byxhk", qp, th)
-    rw = jnp.einsum("byxhc,xkc->byxhk", qp, tw)
-    rhw = jnp.concatenate(
-        [
-            rh.reshape(b, s, s, heads * window),
-            rw.reshape(b, s, s, heads * window),
-        ],
-        axis=-1,
-    ).astype(x.dtype)
+    # score-table VMEM budget: the Pallas table builder holds a (w, s, C) q
+    # block + (w, s*heads, 2w-1) fp32 contraction in VMEM — fine for w <= 32
+    # (and the w=16 windowed layers of every config); 1024-input global
+    # layers (w=64) fall back to the einsum path
+    table_vmem = window * s * c * 2 + window * s * heads * (2 * window - 1) * 4
+    if jax.default_backend() != "cpu" and table_vmem <= 6_000_000:
+        from ...ops.flash_attention import relpos_tables
+
+        rhw = relpos_tables(
+            qkv, p["rel_pos_h"], p["rel_pos_w"], heads=heads, window=window
+        )
+    else:
+        idx = np.arange(window)[:, None] - np.arange(window)[None, :] + window - 1
+        rh_tab = p["rel_pos_h"][idx]  # (w, w, hd) [q_local, k_local]
+        rw_tab = p["rel_pos_w"][idx]
+        reps = s // window
+        th = jnp.tile(rh_tab, (reps, 1, 1)).astype(x.dtype)  # (S, w, hd) by y
+        tw = jnp.tile(rw_tab, (reps, 1, 1)).astype(x.dtype)
+        qp = qkv[..., :c].reshape(b, s, s, heads, hd)
+        rh = jnp.einsum("byxhc,ykc->byxhk", qp, th)
+        rw = jnp.einsum("byxhc,xkc->byxhk", qp, tw)
+        rhw = jnp.concatenate(
+            [
+                rh.reshape(b, s, s, heads * window),
+                rw.reshape(b, s, s, heads * window),
+            ],
+            axis=-1,
+        ).astype(x.dtype)
     # output projection fused into the kernel (its weight sits in VMEM)
     return flash_attention_grid(
         qkv, rhw, heads=heads, window=window,
@@ -483,6 +495,62 @@ def _decoder_attention(
     return _linear(p["out"], out)
 
 
+def _t2i_attention_shared(
+    p: Params, q: jnp.ndarray, k_img: jnp.ndarray, v_img: jnp.ndarray, heads: int
+) -> jnp.ndarray:
+    """Token-to-image attention against PER-IMAGE keys/values.
+
+    q: (B, K, tq, C) per-prompt queries; k_img/v_img: (B, T, C) — the k/v
+    projections run once per image (the K prompts of an image share the
+    untouched image tokens at decoder layer 0), saving the Kx-duplicated
+    268 MB keys-stream passes the generic path pays. Exact same math.
+    """
+    b, kk, tq, _ = q.shape
+    qp = _linear(p["q"], q)  # (B, K, tq, dh)
+    kp = _linear(p["k"], k_img)  # (B, T, dh)
+    vp = _linear(p["v"], v_img)
+    ci = qp.shape[-1]
+    hd = ci // heads
+    t = kp.shape[1]
+    qh = qp.reshape(b, kk, tq, heads, hd)
+    kh = kp.reshape(b, t, heads, hd)
+    vh = vp.reshape(b, t, heads, hd)
+    logits = jnp.einsum(
+        "bkqhc,bthc->bkhqt", qh * (hd**-0.5), kh, preferred_element_type=jnp.float32
+    )
+    attn = _softmax_fp32(logits).astype(vh.dtype)
+    out = jnp.einsum("bkhqt,bthc->bkqhc", attn, vh)
+    return _linear(p["out"], out.reshape(b, kk, tq, ci))
+
+
+def _i2t_attention_shared(
+    p: Params, q_img: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int
+) -> jnp.ndarray:
+    """Image-to-token attention with a PER-IMAGE query side.
+
+    q_img: (B, T, C) untouched image tokens (+pe); k/v: (B, K, tq, C)
+    per-prompt. The q projection runs once per image; only the (tiny-
+    contraction) attention product and the output projection are per-prompt.
+    Returns (B, K, T, C).
+    """
+    b, kk, tq, _ = k.shape
+    qp = _linear(p["q"], q_img)  # (B, T, dh)
+    kp = _linear(p["k"], k)  # (B, K, tq, dh)
+    vp = _linear(p["v"], v)
+    ci = qp.shape[-1]
+    hd = ci // heads
+    t = qp.shape[1]
+    qh = qp.reshape(b, t, heads, hd)
+    kh = kp.reshape(b, kk, tq, heads, hd)
+    vh = vp.reshape(b, kk, tq, heads, hd)
+    logits = jnp.einsum(
+        "bthc,bkqhc->bkhtq", qh * (hd**-0.5), kh, preferred_element_type=jnp.float32
+    )
+    attn = _softmax_fp32(logits).astype(vh.dtype)
+    out = jnp.einsum("bkhtq,bkqhc->bkthc", attn, vh)
+    return _linear(p["out"], out.reshape(b, kk, t, ci))
+
+
 def _feed_forward(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """SAM FeedForward: relu MLP with proj_in / hidden layers / proj_out."""
     x = jax.nn.relu(_linear(p["in"], x))
@@ -527,8 +595,7 @@ def sam_mask_decoder_tokens(
     if dense_prompts is None:
         dense_prompts = sam_dense_no_mask(params, cfg)[None]
     img = image_embeddings + dense_prompts  # (B, gs, gs, C)
-    img_tokens = img.reshape(b, 1, gs * gs, c)
-    img_tokens = jnp.broadcast_to(img_tokens, (b, k, gs * gs, c)).reshape(b * k, gs * gs, c)
+    img_flat = img.reshape(b, gs * gs, c)  # PER-IMAGE image tokens
 
     img_pe = (
         image_wide_positional_embedding(params, cfg)
@@ -538,30 +605,57 @@ def sam_mask_decoder_tokens(
 
     output_tokens = jnp.concatenate([dp["iou_token"], dp["mask_tokens"]], axis=0)
     num_out = output_tokens.shape[0]
-    tokens = jnp.concatenate(
+    nt = num_out + sparse_prompts.shape[2]
+    tokens4 = jnp.concatenate(
         [
             jnp.broadcast_to(output_tokens[None, None], (b, k, num_out, c)),
             sparse_prompts,
         ],
         axis=2,
-    ).reshape(b * k, num_out + sparse_prompts.shape[2], c)
+    )  # (B, K, nt, C)
+    tokens = tokens4.reshape(b * k, nt, c)
 
-    queries, keys = tokens, img_tokens
+    queries = tokens
     point_pe = tokens  # query positional embedding = initial prompt tokens
+    heads = cfg.decoder_heads
 
-    for i, lp in enumerate(dp["layers"]):
-        if i == 0:
-            q_attn = _decoder_attention(lp["self_attn"], queries, queries, queries, cfg.decoder_heads)
-            queries = q_attn  # skip_first_layer_pe: output replaces queries
-        else:
-            q = queries + point_pe
-            attn = _decoder_attention(lp["self_attn"], q, q, queries, cfg.decoder_heads)
-            queries = queries + attn
-        queries = _layer_norm(lp["ln1"], queries, eps)
+    # ---- layer 0, keys still per-image -------------------------------------
+    # Until the first i2t update the K prompts of an image share identical
+    # image tokens, so the t2i k/v projections and the i2t q projection run
+    # per-image ((B, T, C)) instead of per-prompt ((B*K, T, C)) — identical
+    # math, 1/K of the keys-stream HBM traffic that dominated the decoder in
+    # the bench profile. Layers >= 1 use the generic per-prompt path.
+    lp0 = dp["layers"][0]
+    queries = _decoder_attention(
+        lp0["self_attn"], queries, queries, queries, heads
+    )  # skip_first_layer_pe: output replaces queries
+    queries = _layer_norm(lp0["ln1"], queries, eps)
+
+    kk_img = img_flat + img_pe  # (B, T, C)
+    q4 = (queries + point_pe).reshape(b, k, nt, c)
+    attn = _t2i_attention_shared(lp0["t2i"], q4, kk_img, img_flat, heads)
+    queries = _layer_norm(lp0["ln2"], queries + attn.reshape(b * k, nt, c), eps)
+
+    mlp = _linear(lp0["mlp2"], jax.nn.relu(_linear(lp0["mlp1"], queries)))
+    queries = _layer_norm(lp0["ln3"], queries + mlp, eps)
+
+    q4 = (queries + point_pe).reshape(b, k, nt, c)
+    attn = _i2t_attention_shared(
+        lp0["i2t"], kk_img, q4, queries.reshape(b, k, nt, c), heads
+    )  # (B, K, T, C)
+    keys = _layer_norm(
+        lp0["ln4"], (img_flat[:, None] + attn).reshape(b * k, gs * gs, c), eps
+    )
+
+    # ---- layers 1.. on the per-prompt streams ------------------------------
+    for lp in dp["layers"][1:]:
+        q = queries + point_pe
+        attn = _decoder_attention(lp["self_attn"], q, q, queries, heads)
+        queries = _layer_norm(lp["ln1"], queries + attn, eps)
 
         q = queries + point_pe
         kk = keys + img_pe
-        attn = _decoder_attention(lp["t2i"], q, kk, keys, cfg.decoder_heads)
+        attn = _decoder_attention(lp["t2i"], q, kk, keys, heads)
         queries = _layer_norm(lp["ln2"], queries + attn, eps)
 
         mlp = _linear(lp["mlp2"], jax.nn.relu(_linear(lp["mlp1"], queries)))
@@ -569,7 +663,7 @@ def sam_mask_decoder_tokens(
 
         q = queries + point_pe
         kk = keys + img_pe
-        attn = _decoder_attention(lp["i2t"], kk, q, queries, cfg.decoder_heads)
+        attn = _decoder_attention(lp["i2t"], kk, q, queries, heads)
         keys = _layer_norm(lp["ln4"], keys + attn, eps)
 
     q = queries + point_pe

@@ -79,17 +79,28 @@ def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def yolo_forward(
-    params: Params, images: jnp.ndarray, cfg: YoloConfig
+    params: Params, images: jnp.ndarray, cfg: YoloConfig,
+    s2d_params: Params = None,
 ) -> List[jnp.ndarray]:
     """Backbone+head. images: (B, S, S, 3) in [0,1]. Returns per-level raw
-    maps [(B, S/8, S/8, 4*reg_max+nc), (S/16...), (S/32...)]."""
+    maps [(B, S/8, S/8, 4*reg_max+nc), (S/16...), (S/32...)].
+
+    ``s2d_params`` (from :func:`.s2d.transform_backbone_params`) runs the
+    narrow stem..down4 prefix in space-to-depth layout — exactly the same
+    function, full-lane MXU utilization (the TPU throughput path).
+    """
     b = params["backbone"]
-    x = _conv(b["stem"], images, stride=2)           # P1
-    x = _conv(b["down2"], x, stride=2)               # P2
-    x = _c2f(b["c2f2"], x, True)
-    x = _conv(b["down3"], x, stride=2)               # P3
-    p3 = _c2f(b["c2f3"], x, True)
-    x = _conv(b["down4"], p3, stride=2)              # P4
+    if s2d_params is not None:
+        from .s2d import backbone_prefix_s2d
+
+        p3, x = backbone_prefix_s2d(s2d_params, images)
+    else:
+        x = _conv(b["stem"], images, stride=2)       # P1
+        x = _conv(b["down2"], x, stride=2)           # P2
+        x = _c2f(b["c2f2"], x, True)
+        x = _conv(b["down3"], x, stride=2)           # P3
+        p3 = _c2f(b["c2f3"], x, True)
+        x = _conv(b["down4"], p3, stride=2)          # P4
     p4 = _c2f(b["c2f4"], x, True)
     x = _conv(b["down5"], p4, stride=2)              # P5
     x = _c2f(b["c2f5"], x, True)

@@ -1,0 +1,189 @@
+"""Space-to-depth execution of the narrow early YOLO stages.
+
+The YOLOv8n backbone's first stages run 3-64-channel convs over large
+spatial maps; on TPU the MXU contracts 128-deep lanes, so those convs (and
+every elementwise op on their outputs) run at <25% lane utilization — they
+dominated the YOLO cost in the bench profile. The standard TPU fix is
+space-to-depth: store a feature map (S, S, C) as (S/2, S/2, 4C) and rewrite
+each conv's weights so the transformed program computes EXACTLY the same
+function (zero-structured block kernels; ~4x nominal FLOPs on the narrow
+convs, repaid many times over by full-lane execution).
+
+Channel convention is **c-major**: s2d channel index = c * 4 + (p * 2 + q)
+for spatial sub-offset (p, q). This keeps YOLO's c2f half-slices and
+concats valid in s2d space (a contiguous channel range of the native tensor
+maps to a contiguous range of the s2d tensor, and concatenation order is
+preserved), so only conv weights need transforming.
+
+Weight mapping (per spatial axis): an output at native pixel
+I = stride2 * a + p' (p' = 0 when the output stays native) reads native
+input pixel J = stride * I + d - pad; with J = 2 * A + p and input block
+A = stride2 * a + e - pad2, solving gives
+
+    d = 2 * (e - pad2) + p - stride * p' + pad
+
+and every (e, p, p', d) combination with d in [0, k) carries the native
+weight w[d]; all other block-kernel taps are zero.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import YoloConfig
+
+Params = Dict[str, Any]
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), c-major sub-pixel channels."""
+    b, h, w, c = x.shape
+    y = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    y = y.transpose(0, 1, 3, 5, 2, 4)  # (B, h2, w2, C, p, q)
+    return y.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    b, h2, w2, c4 = x.shape
+    c = c4 // 4
+    y = x.reshape(b, h2, w2, c, 2, 2)
+    y = y.transpose(0, 1, 4, 2, 5, 3)  # (B, h2, p, w2, q, C)
+    return y.reshape(b, h2 * 2, w2 * 2, c)
+
+
+def _block_geometry(k: int, stride: int, s2d_out: bool):
+    """(k2, pad2, stride2) of the s2d-space conv; pad2 is the LOW padding and
+    the high padding is k2 - 1 - pad2 - (stride2 - 1)."""
+    if k == 1 and stride == 1:
+        return 1, 0, 1
+    if k == 3 and stride == 1:
+        assert s2d_out, "stride-1 convs keep the s2d layout"
+        return 3, 1, 1
+    if k == 3 and stride == 2:
+        return (3, 1, 2) if s2d_out else (2, 1, 1)
+    raise ValueError(f"unsupported conv geometry k={k} stride={stride}")
+
+
+def s2d_conv_w(w: np.ndarray, stride: int, s2d_out: bool = True) -> np.ndarray:
+    """Native (k, k, Ci, Co) HWIO weights -> s2d block weights
+    (k2, k2, 4Ci, 4Co) (or (k2, k2, 4Ci, Co) when the output stays native)."""
+    w = np.asarray(w)
+    k = w.shape[0]
+    ci, co = w.shape[2], w.shape[3]
+    pad = k // 2
+    k2, pad2, _ = _block_geometry(k, stride, s2d_out)
+    pouts = (0, 1) if s2d_out else (0,)
+    of = 4 if s2d_out else 1
+    out = np.zeros((k2, k2, 4 * ci, of * co), w.dtype)
+    for eh in range(k2):
+        for ew in range(k2):
+            for p in (0, 1):
+                for q in (0, 1):
+                    for ph in pouts:
+                        for qw in pouts:
+                            dh = 2 * (eh - pad2) + p - stride * ph + pad
+                            dw = 2 * (ew - pad2) + q - stride * qw + pad
+                            if 0 <= dh < k and 0 <= dw < k:
+                                ii = p * 2 + q
+                                oo = (ph * 2 + qw) if s2d_out else 0
+                                out[eh, ew, ii::4, oo::of] = w[dh, dw]
+    return out
+
+
+def _s2d_conv_params(p: Params, stride: int, s2d_out: bool = True) -> Params:
+    b = np.asarray(p["b"])
+    b2 = np.repeat(b, 4) if s2d_out else b  # c-major: each c spreads to 4 slots
+    return {
+        "w": jnp.asarray(s2d_conv_w(np.asarray(p["w"]), stride, s2d_out)),
+        "b": jnp.asarray(b2),
+    }
+
+
+def _conv_s2d(
+    p: Params,
+    x: jnp.ndarray,
+    k: int = 3,
+    stride: int = 1,
+    s2d_out: bool = True,
+    act: bool = True,
+) -> jnp.ndarray:
+    """Run a transformed conv on an s2d tensor (geometry passed statically —
+    the param tree holds arrays only, so casting/device_put stay trivial)."""
+    k2, pad2, stride2 = _block_geometry(k, stride, s2d_out)
+    pad_hi = k2 - 1 - pad2 - (stride2 - 1)
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride2, stride2),
+        padding=((pad2, pad_hi), (pad2, pad_hi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y + p["b"].astype(x.dtype)
+    return jax.nn.silu(y) if act else y
+
+
+def _bottleneck_s2d(p: Params, x: jnp.ndarray, shortcut: bool) -> jnp.ndarray:
+    y = _conv_s2d(p["cv1"], x, k=3)
+    y = _conv_s2d(p["cv2"], y, k=3)
+    return x + y if shortcut else y
+
+
+def _c2f_s2d(p: Params, x: jnp.ndarray, shortcut: bool) -> jnp.ndarray:
+    y = _conv_s2d(p["cv1"], x, k=1)
+    c = y.shape[-1] // 2  # c-major layout: native half == s2d half
+    parts = [y[..., :c], y[..., c:]]
+    for bp in p["m"]:
+        parts.append(_bottleneck_s2d(bp, parts[-1], shortcut))
+    return _conv_s2d(p["cv2"], jnp.concatenate(parts, axis=-1), k=1)
+
+
+def transform_backbone_params(params: Params) -> Params:
+    """Build the s2d weight tree for the narrow backbone prefix
+    (stem .. c2f3 + the down4 exit conv). Call once at stage-build time."""
+    b = params["backbone"]
+
+    def c2f(p):
+        return {
+            "cv1": _s2d_conv_params(p["cv1"], 1),
+            "cv2": _s2d_conv_params(p["cv2"], 1),
+            "m": [
+                {
+                    "cv1": _s2d_conv_params(m["cv1"], 1),
+                    "cv2": _s2d_conv_params(m["cv2"], 1),
+                }
+                for m in p["m"]
+            ],
+        }
+
+    return {
+        "stem": _s2d_conv_params(b["stem"], 2),
+        "down2": _s2d_conv_params(b["down2"], 2),
+        "c2f2": c2f(b["c2f2"]),
+        "down3": _s2d_conv_params(b["down3"], 2),
+        "c2f3": c2f(b["c2f3"]),
+        "down4": _s2d_conv_params(b["down4"], 2, s2d_out=False),
+    }
+
+
+def backbone_prefix_s2d(
+    s2d_params: Params, images: jnp.ndarray
+) -> tuple:
+    """images (B, S, S, 3) -> (p3 native (S/8, C3), down4-out native (S/16, C4)).
+
+    Exactly equivalent to the native stem..down4 prefix of
+    :func:`..model.yolo_forward`, executed in s2d space.
+    """
+    x = space_to_depth(images)  # (S/2, 12)
+    x = _conv_s2d(s2d_params["stem"], x, k=3, stride=2)  # P1 s2d: (S/4, 4c1)
+    x = _conv_s2d(s2d_params["down2"], x, k=3, stride=2)  # P2 s2d: (S/8, 4c2)
+    x = _c2f_s2d(s2d_params["c2f2"], x, True)
+    x = _conv_s2d(s2d_params["down3"], x, k=3, stride=2)  # P3 s2d: (S/16, 4c3)
+    x = _c2f_s2d(s2d_params["c2f3"], x, True)
+    p3 = depth_to_space(x)  # native (S/8, c3) for the FPN head
+    x4 = _conv_s2d(s2d_params["down4"], x, k=3, stride=2, s2d_out=False)
+    return p3, x4

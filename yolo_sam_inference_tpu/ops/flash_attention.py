@@ -251,34 +251,37 @@ def _flash_grid_kernel(
     vf = vt.reshape(nk, c)
     rhwf = rhw.reshape(nq, 2 * heads * wk)
 
-    # local (row, col) of each k token in this k block: rows are global
-    # window rows [ki*bky, ki*bky + bky), columns all wsx
-    kk = jax.lax.broadcasted_iota(jnp.int32, (wk, nk), 1)
-    jrow = jax.lax.broadcasted_iota(jnp.int32, (wk, nk), 0)
-    e_ky = (jrow == ki * bky + kk // wsx).astype(qf.dtype)  # (wk, nk)
-    e_kx = (jrow == kk % wsx).astype(qf.dtype)
+    # local (row, col) one-hots of each k token in this k block, laid out
+    # (nk, wk) so they append directly onto k's contraction axis: rows are
+    # global window rows [ki*bky, ki*bky + bky), columns all wsx
+    kk = jax.lax.broadcasted_iota(jnp.int32, (nk, wk), 0)
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (nk, wk), 1)
+    e_ky = (jcol == kk // wsx + ki * bky).astype(qf.dtype)  # (nk, wk)
+    e_kx = (jcol == kk % wsx).astype(qf.dtype)
+    e_kyx = jnp.concatenate([e_ky, e_kx], axis=1)  # (nk, 2*wk)
 
     outs = []
     for h in range(heads):
         q = qf[:, h * hd : (h + 1) * hd]
         k = kf[:, h * hd : (h + 1) * hd]
         v = vf[:, h * hd : (h + 1) * hd]
+        # Bias folded into the contraction: with hd = 64 the bare qk^T wastes
+        # half the MXU's 128-deep contraction anyway, so augmenting
+        #   q' = [q * scale, rh, rw]   k' = [k | onehot(ky) | onehot(kx)]
+        # computes scale*qk^T + rh[q, ky] + rw[q, kx] in ONE matmul issue
+        # where the unfolded form needed three (qk + two bias reconstructions
+        # with tiny contraction depths — each still a full MXU pass).
+        rh_rw = rhwf[:, h * wk : (h + 1) * wk], rhwf[:, (heads + h) * wk : (heads + h + 1) * wk]
+        q_aug = jnp.concatenate(
+            [q * q.dtype.type(scale), rh_rw[0], rh_rw[1]], axis=1
+        )  # (nq, hd + 2*wk)
+        k_aug = jnp.concatenate([k, e_kyx], axis=1)  # (nk, hd + 2*wk)
         s = jax.lax.dot_general(
-            q * q.dtype.type(scale),
-            k,
+            q_aug,
+            k_aug,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (nq, nk) fp32
-        rh = rhwf[:, h * wk : (h + 1) * wk]
-        rw = rhwf[:, (heads + h) * wk : (heads + h + 1) * wk]
-        s += jax.lax.dot_general(
-            rh, e_ky, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s += jax.lax.dot_general(
-            rw, e_kx, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
 
         if single:
             m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -463,6 +466,108 @@ def flash_attention_grid(
         interpret=interpret,
     )(*inputs)
     return out
+
+
+# ------------------------------------------------------ rel-pos score tables
+
+
+def _relpos_tables_kernel(
+    q_ref, rt_ref, wt_ref, o_ref, *, heads: int, hd: int, w: int, s: int
+):
+    """Build the (rh || rw) score tables for one (image, w-row) block.
+
+    q_ref: (1, w, s, C) — the q slice of the fused qkv tensor. rt/wt:
+    (2w-1, hd) REVERSED rel-pos tables. o_ref: (1, w, s, 2*heads*w).
+
+    rh[token(i, x), h, j] = q_h . tab_h[i - j + w - 1] for window-local rows
+    i, j. With the reversed table, f = q @ rev(tab)^T gives
+    rh[i, :, j] = f[:, w-1-i+j] — a STATIC forward lane-slice per local row,
+    so the whole table build is one batched MXU contraction (heads share the
+    table) plus w cheap VMEM slices, instead of the per-token einsum +
+    concat chain that cost ~10 ms/iter in HBM round-trips at bench shape.
+    """
+    q = q_ref[0]  # (w, s, C)
+    c = heads * hd
+    d2 = 2 * w - 1
+    q2 = q.reshape(w * s, c)  # major-collapse only (mosaic-safe)
+    qt2 = q.transpose(1, 0, 2).reshape(s * w, c)  # column-major tokens
+
+    # Per-head contraction against the tiny reversed tables (lane-splitting
+    # (.., C) -> (.., heads, hd) is not a mosaic-supported shape cast, so
+    # heads are separated by static lane slices instead).
+    rh_parts = [[] for _ in range(w)]  # rh_parts[i][h]: (s, w)
+    rw_parts = [[] for _ in range(s)]  # rw_parts[x][h]: (w, w)
+    for h in range(heads):
+        qh = q2[:, h * hd : (h + 1) * hd]
+        f = jax.lax.dot_general(
+            qh, rt_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(w, s, d2)
+        qth = qt2[:, h * hd : (h + 1) * hd]
+        g = jax.lax.dot_general(
+            qth, wt_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(s, w, d2)
+        for i in range(w):
+            rh_parts[i].append(
+                jax.lax.slice(f[i], (0, w - 1 - i), (s, d2 - i))
+            )
+        for x in range(s):
+            j = x % w
+            rw_parts[x].append(
+                jax.lax.slice(g[x], (0, w - 1 - j), (w, d2 - j))
+            )
+
+    rh = jnp.stack(
+        [jnp.concatenate(p, axis=-1) for p in rh_parts], axis=0
+    )  # (w, s, heads*w)
+    rw = jnp.stack(
+        [jnp.concatenate(p, axis=-1) for p in rw_parts], axis=0
+    ).transpose(1, 0, 2)  # (w, s, heads*w)
+    o_ref[0] = jnp.concatenate([rh, rw], axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "window", "interpret"))
+def relpos_tables(
+    qkv: jnp.ndarray,
+    rel_pos_h: jnp.ndarray,
+    rel_pos_w: jnp.ndarray,
+    heads: int,
+    window: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, S, S, 3C) fused qkv + raw (2w-1, hd) tables -> rhw (B, S, S, 2*heads*w).
+
+    Output layout matches :func:`flash_attention_grid`'s ``rhw`` operand:
+    rh || rw, head-major within each half, window-local k indices.
+    """
+    b, s, _, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    w = window
+    assert rel_pos_h.shape == (2 * w - 1, hd), (rel_pos_h.shape, w, hd)
+    rt = rel_pos_h[::-1].astype(qkv.dtype)
+    wt = rel_pos_w[::-1].astype(qkv.dtype)
+    kernel = functools.partial(
+        _relpos_tables_kernel, heads=heads, hd=hd, w=w, s=s
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, s // w),
+        in_specs=[
+            pl.BlockSpec((1, w, s, c), lambda bi, yi: (bi, yi, 0, 0)),
+            pl.BlockSpec((2 * w - 1, hd), lambda bi, yi: (0, 0)),
+            pl.BlockSpec((2 * w - 1, hd), lambda bi, yi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, w, s, 2 * heads * w), lambda bi, yi: (bi, yi, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s, s, 2 * heads * w), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qkv, rt, wt)
 
 
 def reference_attention_relpos(q, k, v, rh, rw, grid_s):

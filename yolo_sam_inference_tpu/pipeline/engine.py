@@ -160,7 +160,8 @@ def _ensure_rgb(images_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def detect_stage(
-    yolo_params, images_u8: jnp.ndarray, ycfg: YoloConfig, opts: PipelineOptions
+    yolo_params, images_u8: jnp.ndarray, ycfg: YoloConfig, opts: PipelineOptions,
+    yolo_s2d=None,
 ):
     """uint8 (B, H, W[, 3]) -> boxes xyxy in original pixels, scores, valid."""
     images_u8 = _ensure_rgb(images_u8)
@@ -168,7 +169,9 @@ def detect_stage(
     lb, scale, (pad_x, pad_y) = letterbox_batch(images_u8, ysize)
     # params arrive pre-cast to compute_dtype (once, outside jit);
     # decode/NMS stay fp32
-    outs = yolo_forward(yolo_params, lb.astype(opts.compute_dtype), ycfg)
+    outs = yolo_forward(
+        yolo_params, lb.astype(opts.compute_dtype), ycfg, s2d_params=yolo_s2d
+    )
     boxes, scores = decode_predictions(outs, ycfg)
     scores = scores.max(axis=-1)  # single-class cell detector
     boxes, scores, valid = batched_nms(
@@ -495,6 +498,17 @@ class CellSegmentationPipeline:
             # params showed up as real per-iteration work in the profile
             sam_params = _cast_floating(self._sam_params_for(scfg), opts.compute_dtype)
             yolo_params_c = _cast_floating(self.yolo_params, opts.compute_dtype)
+            # s2d backbone prefix: exact-equivalent conv rewrite that keeps
+            # the MXU lanes full on the narrow early YOLO stages (TPU only —
+            # on CPU the native layout is faster and parity tests use it)
+            yolo_s2d = None
+            if jax.default_backend() != "cpu":
+                from ..models.yolo.s2d import transform_backbone_params
+
+                yolo_s2d = _cast_floating(
+                    transform_backbone_params(self.yolo_params),
+                    opts.compute_dtype,
+                )
             if self.mesh is not None:
                 # replicate weights across the mesh once; sharded image
                 # inputs then make every jitted stage an SPMD program
@@ -504,9 +518,11 @@ class CellSegmentationPipeline:
                 put = lambda x: jax.device_put(x, rep)
                 sam_params = jax.tree_util.tree_map(put, sam_params)
                 yolo_params_c = jax.tree_util.tree_map(put, yolo_params_c)
+                if yolo_s2d is not None:
+                    yolo_s2d = jax.tree_util.tree_map(put, yolo_s2d)
 
             detect = jax.jit(
-                lambda yp, img: detect_stage(yp, img, ycfg, opts)
+                lambda yp, img: detect_stage(yp, img, ycfg, opts, yolo_s2d)
             )
             embed = jax.jit(lambda sp, img: embed_stage(sp, img, scfg, opts))
             segment = jax.jit(
@@ -519,7 +535,7 @@ class CellSegmentationPipeline:
             )
 
             def fused(yp, sp, img):
-                boxes, scores, valid = detect_stage(yp, img, ycfg, opts)
+                boxes, scores, valid = detect_stage(yp, img, ycfg, opts, yolo_s2d)
                 emb = embed_stage(sp, img, scfg, opts)
                 crops, offs = segment_stage(sp, emb, boxes, valid, (h, w), scfg, opts)
                 gray = _gray_f32(img)
