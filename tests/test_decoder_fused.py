@@ -1,0 +1,99 @@
+"""Fused i2t keys-update kernel vs the naive decoder formulas."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def _naive(keys, pe, q_tokens_pe, v_tokens, wq, bq, wk, bk, wv, bv,
+           wout, bout, lns, lnb, heads, eps):
+    """reference: _decoder_attention(i2t, keys+pe, q_tokens_pe, v_tokens)
+    then LayerNorm(keys + attn)."""
+    n, t, c = keys.shape
+    kk = keys + pe
+    qp = kk @ wq + bq
+    kp = q_tokens_pe @ wk + bk
+    vp = v_tokens @ wv + bv
+    dh = qp.shape[-1]
+    hd = dh // heads
+    tq = kp.shape[1]
+    qh = qp.reshape(n, t, heads, hd).transpose(0, 2, 1, 3)
+    kh = kp.reshape(n, tq, heads, hd).transpose(0, 2, 1, 3)
+    vh = vp.reshape(n, tq, heads, hd).transpose(0, 2, 1, 3)
+    logits = np.einsum("nhtc,nhqc->nhtq", qh * hd**-0.5, kh)
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    out = np.einsum("nhtq,nhqc->nhtc", p, vh)
+    out = out.transpose(0, 2, 1, 3).reshape(n, t, dh) @ wout + bout
+    y = keys + out
+    mean = y.mean(-1, keepdims=True)
+    var = ((y - mean) ** 2).mean(-1, keepdims=True)
+    return (y - mean) / np.sqrt(var + eps) * lns + lnb
+
+
+@pytest.mark.parametrize("k_share", [1, 2])
+def test_i2t_keys_update_matches_naive(k_share):
+    from yolo_sam_inference_tpu.ops.decoder_fused import i2t_keys_update
+
+    rng = np.random.default_rng(2)
+    heads, hd, tq = 2, 8, 3
+    dh = heads * hd
+    nsrc, t, c = 2, 16, 32
+    n = nsrc * k_share
+    eps = 1e-6
+    f = lambda *s: rng.normal(size=s).astype(np.float32)
+    keys_src = f(nsrc, t, c)
+    pe = f(1, t, c)
+    qtok = f(n, tq, c)   # queries + point_pe
+    vtok = f(n, tq, c)   # queries
+    wq, bq = f(c, dh) * 0.3, f(dh) * 0.1
+    wk, bk = f(c, dh) * 0.3, f(dh) * 0.1
+    wv, bv = f(c, dh) * 0.3, f(dh) * 0.1
+    wout, bout = f(dh, c) * 0.3, f(c) * 0.1
+    lns, lnb = 1.0 + f(c) * 0.1, f(c) * 0.1
+
+    kp = qtok @ wk + bk
+    vp = vtok @ wv + bv
+    got = i2t_keys_update(
+        jnp.asarray(keys_src), jnp.asarray(pe), jnp.asarray(kp), jnp.asarray(vp),
+        jnp.asarray(wq), jnp.asarray(bq), jnp.asarray(wout), jnp.asarray(bout),
+        jnp.asarray(lns), jnp.asarray(lnb),
+        heads=heads, k_share=k_share, eps=eps, interpret=True,
+    )
+
+    keys_full = np.repeat(keys_src, k_share, axis=0)
+    want = _naive(keys_full, pe, qtok, vtok, wq, bq, wk, bk, wv, bv,
+                  wout, bout, lns, lnb, heads, eps)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_decoder_matches_reference_path(monkeypatch):
+    """Full decoder with the pipelined fused keys-stream == the plain path
+    (interpret-mode Pallas on CPU)."""
+    import jax
+
+    from yolo_sam_inference_tpu.models.sam import init_sam_params, sam_tiny_test
+    from yolo_sam_inference_tpu.models.sam import model as m
+
+    cfg = sam_tiny_test()
+    params = init_sam_params(5, cfg)
+    rng = np.random.default_rng(9)
+    b, k = 2, 3
+    gs = cfg.grid_size
+    emb = jnp.asarray(rng.normal(size=(b, gs, gs, cfg.prompt_hidden)), jnp.float32)
+    sparse = jnp.asarray(rng.normal(size=(b, k, 2, cfg.prompt_hidden)) * 0.3,
+                         jnp.float32)
+
+    monkeypatch.setattr(m, "_fused_i2t_enabled", lambda c: False)
+    iou_ref, hyper_ref, keys_ref = m.sam_mask_decoder_tokens(params, emb, sparse, cfg)
+
+    monkeypatch.setattr(m, "_fused_i2t_enabled", lambda c: True)
+    iou_f, hyper_f, keys_f = m.sam_mask_decoder_tokens(params, emb, sparse, cfg)
+
+    np.testing.assert_allclose(np.asarray(iou_f), np.asarray(iou_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(hyper_f), np.asarray(hyper_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(keys_f), np.asarray(keys_ref),
+                               rtol=2e-4, atol=2e-4)

@@ -180,7 +180,7 @@ def test_vision_attention_grid_matches_naive_path():
                                rtol=2e-3, atol=2e-3)
 
 
-@pytest.mark.parametrize("s,window", [(8, 4), (8, 8), (4, 2)])
+@pytest.mark.parametrize("s,window", [(8, 4), (8, 8), (4, 2), (40, 8)])
 def test_relpos_tables_matches_einsum(s, window):
     """Pallas score-table builder == the einsum construction it replaces."""
     from yolo_sam_inference_tpu.ops.flash_attention import relpos_tables

@@ -154,3 +154,84 @@ def test_mask_iou_vs_torch_postprocessing(mask_threshold):
         conf_ious.append(np.logical_and(ac, bc).sum() / cu if cu else 1.0)
     assert min(ious) >= 0.97, ious  # all-pixel floor with random weights
     assert min(conf_ious) >= 0.99, conf_ious  # BASELINE bar off the knife-edge
+
+
+def test_mask_iou_all_pixel_larger_config():
+    """VERDICT r1 #8: the 0.97 all-pixel floor of the tiny test above is the
+    64-canvas random-weight boundary effect (knife-edge logits at a 16x16
+    low-res grid). At a 128-canvas / 32x32 low-res config the SAME routes
+    meet the BASELINE IoU >= 0.99 bar on ALL pixels (measured 1.0)."""
+    from transformers import SamConfig, SamModel, SamProcessor
+    from transformers.models.sam.configuration_sam import (
+        SamMaskDecoderConfig,
+        SamPromptEncoderConfig,
+        SamVisionConfig,
+    )
+    from transformers.models.sam.image_processing_sam import SamImageProcessor
+
+    from yolo_sam_inference_tpu.models.sam import (
+        convert_hf_sam_state_dict,
+        sam_forward_boxes,
+    )
+    from yolo_sam_inference_tpu.models.sam.config import SamTPUConfig
+    from yolo_sam_inference_tpu.pipeline.engine import _bilinear_crop_sample
+
+    torch.manual_seed(3)
+    size, patch = 128, 8
+    vc = SamVisionConfig(hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+                         image_size=size, patch_size=patch, global_attn_indexes=[1],
+                         window_size=4, output_channels=32, mlp_dim=128,
+                         num_pos_feats=16, attn_implementation="eager")
+    pc = SamPromptEncoderConfig(hidden_size=32, image_size=size, patch_size=patch,
+                                mask_input_channels=4)
+    mc = SamMaskDecoderConfig(hidden_size=32, num_hidden_layers=2,
+                              num_attention_heads=2, mlp_dim=64,
+                              iou_head_hidden_dim=32)
+    cfg = SamConfig(vision_config=vc.to_dict(), prompt_encoder_config=pc.to_dict(),
+                    mask_decoder_config=mc.to_dict())
+    cfg._attn_implementation = "eager"
+    model = SamModel(cfg).eval()
+    with torch.no_grad():
+        for layer in model.vision_encoder.layers:
+            layer.attn.rel_pos_h.normal_(0, 0.1)
+            layer.attn.rel_pos_w.normal_(0, 0.1)
+
+    jcfg = SamTPUConfig(
+        image_size=size, patch_size=patch, vision_hidden=64, vision_layers=2,
+        vision_heads=2, vision_mlp_dim=128, window_size=4, global_attn_indexes=(1,),
+        output_channels=32, prompt_hidden=32, decoder_layers=2, decoder_heads=2,
+        decoder_mlp_dim=64, iou_head_hidden=32, num_pos_feats=16)
+    params = convert_hf_sam_state_dict(model.state_dict(), jcfg)
+
+    rng = np.random.default_rng(7)
+    h, w = 96, 128
+    image = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+    boxes_orig = np.array([[[16.0, 12.0, 80.0, 72.0], [40.0, 20.0, 90.0, 80.0]]])
+    processor = SamProcessor(
+        SamImageProcessor(do_resize=True, size={"longest_edge": size},
+                          pad_size={"height": size, "width": size})
+    )
+    inputs = processor(image, input_boxes=boxes_orig.tolist(), return_tensors="pt")
+    with torch.no_grad():
+        out = model(**inputs, multimask_output=False)
+    want = processor.post_process_masks(
+        out.pred_masks, inputs["original_sizes"], inputs["reshaped_input_sizes"]
+    )[0].numpy()[:, 0]
+
+    pix, scale, _ = sam_preprocess_batch(jnp.asarray(image[None]), size=size)
+    low, _ = sam_forward_boxes(
+        params, pix, jnp.asarray(boxes_orig, jnp.float32) * scale, jcfg,
+        multimask_output=False,
+    )
+    low = np.asarray(low[0, :, 0])
+    scale_to_low = scale / (jcfg.image_size / jcfg.low_res_size)
+    for k in range(2):
+        crop = np.asarray(
+            _bilinear_crop_sample(jnp.asarray(low[k]), jnp.asarray([0, 0]),
+                                  crop=96, scale_to_low=scale_to_low)
+        )
+        a = crop > 0.0  # 96x96 crop window = the compared region
+        b = want[k][:96, :96]
+        union = np.logical_or(a, b).sum()
+        iou = np.logical_and(a, b).sum() / union if union else 1.0
+        assert iou >= 0.99, (k, iou)

@@ -355,6 +355,7 @@ def test_s2d_backbone_prefix_matches_native():
     from yolo_sam_inference_tpu.models.yolo.model import _c2f, _conv, yolo_forward
     from yolo_sam_inference_tpu.models.yolo.s2d import (
         backbone_prefix_s2d,
+        depth_to_space,
         transform_backbone_params,
     )
 
@@ -372,7 +373,8 @@ def test_s2d_backbone_prefix_matches_native():
     x4_ref = _conv(b["down4"], p3_ref, stride=2)
 
     s2d = transform_backbone_params(params)
-    p3, x4 = backbone_prefix_s2d(s2d, x)
+    p3s, x4 = backbone_prefix_s2d(s2d, x)
+    p3 = depth_to_space(p3s)
     np.testing.assert_allclose(np.asarray(p3), np.asarray(p3_ref), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(x4), np.asarray(x4_ref), rtol=2e-5, atol=2e-5)
 

@@ -473,6 +473,12 @@ def sam_dense_no_mask(params: Params, cfg: SamTPUConfig) -> jnp.ndarray:
 # --------------------------------------------------------------------- mask decoder
 
 
+def _fused_i2t_enabled(c: int) -> bool:
+    """Use the fused Pallas keys-stream decoder (TPU, lane-aligned C).
+    Tests monkeypatch this to exercise the fused path in interpret mode."""
+    return jax.default_backend() != "cpu" and c % 128 == 0
+
+
 def _decoder_attention(
     p: Params, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int
 ) -> jnp.ndarray:
@@ -489,7 +495,10 @@ def _decoder_attention(
     logits = jnp.einsum(
         "nhqc,nhkc->nhqk", qh * (hd**-0.5), kh, preferred_element_type=jnp.float32
     )
-    attn = _softmax_fp32(logits).astype(vh.dtype)
+    # store logits in the activation dtype (fp32 in parity tests, bf16 in
+    # production — halves the i2t logits' HBM round trip); softmax math
+    # still upcasts to fp32 in-register
+    attn = _softmax_fp32(logits.astype(qh.dtype)).astype(vh.dtype)
     out = jnp.einsum("nhqk,nhkc->nhqc", attn, vh)
     out = out.transpose(0, 2, 1, 3).reshape(n, tq, ci)
     return _linear(p["out"], out)
@@ -518,7 +527,7 @@ def _t2i_attention_shared(
     logits = jnp.einsum(
         "bkqhc,bthc->bkhqt", qh * (hd**-0.5), kh, preferred_element_type=jnp.float32
     )
-    attn = _softmax_fp32(logits).astype(vh.dtype)
+    attn = _softmax_fp32(logits.astype(qh.dtype)).astype(vh.dtype)
     out = jnp.einsum("bkhqt,bthc->bkqhc", attn, vh)
     return _linear(p["out"], out.reshape(b, kk, tq, ci))
 
@@ -546,7 +555,7 @@ def _i2t_attention_shared(
     logits = jnp.einsum(
         "bthc,bkqhc->bkhtq", qh * (hd**-0.5), kh, preferred_element_type=jnp.float32
     )
-    attn = _softmax_fp32(logits).astype(vh.dtype)
+    attn = _softmax_fp32(logits.astype(qh.dtype)).astype(vh.dtype)
     out = jnp.einsum("bkhtq,bkqhc->bkthc", attn, vh)
     return _linear(p["out"], out.reshape(b, kk, t, ci))
 
@@ -639,38 +648,87 @@ def sam_mask_decoder_tokens(
     mlp = _linear(lp0["mlp2"], jax.nn.relu(_linear(lp0["mlp1"], queries)))
     queries = _layer_norm(lp0["ln3"], queries + mlp, eps)
 
-    q4 = (queries + point_pe).reshape(b, k, nt, c)
-    attn = _i2t_attention_shared(
-        lp0["i2t"], kk_img, q4, queries.reshape(b, k, nt, c), heads
-    )  # (B, K, T, C)
-    keys = _layer_norm(
-        lp0["ln4"], (img_flat[:, None] + attn).reshape(b * k, gs * gs, c), eps
-    )
+    if _fused_i2t_enabled(c):
+        # Pipelined Pallas decoder: each keys-stream pass fuses [i2t(i) +
+        # residual + ln4] WITH the next stage's t2i attention (layer i+1's
+        # self-attn + ln1 are computed first — legal, i2t never touches the
+        # queries; the final iteration fuses final_t2i). The (B*K, T, C)
+        # keys stream is then written once and read once per layer instead
+        # of XLA's ~8 round-trips — the decoder's dominant cost at bench
+        # shape.
+        from ...ops.decoder_fused import i2t_keys_update
 
-    # ---- layers 1.. on the per-prompt streams ------------------------------
-    for lp in dp["layers"][1:]:
-        q = queries + point_pe
-        attn = _decoder_attention(lp["self_attn"], q, q, queries, heads)
-        queries = _layer_norm(lp["ln1"], queries + attn, eps)
+        layers = dp["layers"]
+        keys_src, share = img_flat, k
+        for i, lpi in enumerate(layers):
+            last = i + 1 >= len(layers)
+            if not last:
+                lpn = layers[i + 1]
+                q = queries + point_pe
+                attn_s = _decoder_attention(lpn["self_attn"], q, q, queries, heads)
+                q_pre = _layer_norm(lpn["ln1"], queries + attn_s, eps)
+                t2i_p = lpn["t2i"]
+            else:
+                q_pre = queries
+                t2i_p = dp["final_t2i"]
+            tq_side = q_pre + point_pe
+            scale2 = (t2i_p["q"]["w"].shape[1] // heads) ** -0.5
+            qp2 = _linear(t2i_p["q"], tq_side) * jnp.asarray(
+                scale2, tq_side.dtype
+            )
+            kq = _linear(lpi["i2t"]["k"], queries + point_pe)
+            vq = _linear(lpi["i2t"]["v"], queries)
+            keys, t2i_attn = i2t_keys_update(
+                keys_src, img_pe, kq, vq,
+                lpi["i2t"]["q"]["w"], lpi["i2t"]["q"]["b"],
+                lpi["i2t"]["out"]["w"], lpi["i2t"]["out"]["b"],
+                lpi["ln4"]["scale"], lpi["ln4"]["bias"],
+                heads=heads, k_share=share, eps=eps,
+                t2i={"qp": qp2, "wk": t2i_p["k"]["w"], "bk": t2i_p["k"]["b"],
+                     "wv": t2i_p["v"]["w"], "bv": t2i_p["v"]["b"]},
+            )
+            attn = _linear(t2i_p["out"], t2i_attn)
+            if not last:
+                queries = _layer_norm(lpn["ln2"], q_pre + attn, eps)
+                mlp = _linear(lpn["mlp2"], jax.nn.relu(_linear(lpn["mlp1"], queries)))
+                queries = _layer_norm(lpn["ln3"], queries + mlp, eps)
+            else:
+                # final LN is a default nn.LayerNorm in the source -> eps 1e-5
+                queries = _layer_norm(dp["ln_final"], q_pre + attn, 1e-5)
+            keys_src, share = keys, 1
+    else:
+        q4 = (queries + point_pe).reshape(b, k, nt, c)
+        attn = _i2t_attention_shared(
+            lp0["i2t"], kk_img, q4, queries.reshape(b, k, nt, c), heads
+        )  # (B, K, T, C)
+        keys = _layer_norm(
+            lp0["ln4"], (img_flat[:, None] + attn).reshape(b * k, gs * gs, c), eps
+        )
+
+        # ---- layers 1.. on the per-prompt streams --------------------------
+        for lp in dp["layers"][1:]:
+            q = queries + point_pe
+            attn = _decoder_attention(lp["self_attn"], q, q, queries, heads)
+            queries = _layer_norm(lp["ln1"], queries + attn, eps)
+
+            q = queries + point_pe
+            kk = keys + img_pe
+            attn = _decoder_attention(lp["t2i"], q, kk, keys, heads)
+            queries = _layer_norm(lp["ln2"], queries + attn, eps)
+
+            mlp = _linear(lp["mlp2"], jax.nn.relu(_linear(lp["mlp1"], queries)))
+            queries = _layer_norm(lp["ln3"], queries + mlp, eps)
+
+            q = queries + point_pe
+            kk = keys + img_pe
+            attn = _decoder_attention(lp["i2t"], kk, q, queries, heads)
+            keys = _layer_norm(lp["ln4"], keys + attn, eps)
 
         q = queries + point_pe
         kk = keys + img_pe
-        attn = _decoder_attention(lp["t2i"], q, kk, keys, heads)
-        queries = _layer_norm(lp["ln2"], queries + attn, eps)
-
-        mlp = _linear(lp["mlp2"], jax.nn.relu(_linear(lp["mlp1"], queries)))
-        queries = _layer_norm(lp["ln3"], queries + mlp, eps)
-
-        q = queries + point_pe
-        kk = keys + img_pe
-        attn = _decoder_attention(lp["i2t"], kk, q, queries, heads)
-        keys = _layer_norm(lp["ln4"], keys + attn, eps)
-
-    q = queries + point_pe
-    kk = keys + img_pe
-    attn = _decoder_attention(dp["final_t2i"], q, kk, keys, cfg.decoder_heads)
-    # the final LN is a default nn.LayerNorm in the source architecture -> eps 1e-5
-    queries = _layer_norm(dp["ln_final"], queries + attn, 1e-5)
+        attn = _decoder_attention(dp["final_t2i"], q, kk, keys, cfg.decoder_heads)
+        # the final LN is a default nn.LayerNorm in the source -> eps 1e-5
+        queries = _layer_norm(dp["ln_final"], queries + attn, 1e-5)
 
     iou_token_out = queries[:, 0, :]
     mask_tokens_out = queries[:, 1 : 1 + cfg.num_mask_tokens, :]

@@ -93,7 +93,7 @@ def yolo_forward(
     if s2d_params is not None:
         from .s2d import backbone_prefix_s2d
 
-        p3, x = backbone_prefix_s2d(s2d_params, images)
+        p3s, x = backbone_prefix_s2d(s2d_params, images)  # p3 in s2d layout
     else:
         x = _conv(b["stem"], images, stride=2)       # P1
         x = _conv(b["down2"], x, stride=2)           # P2
@@ -109,15 +109,25 @@ def yolo_forward(
     h = params["head"]
     u4 = jnp.concatenate([_upsample2x(p5), p4], axis=-1)
     f4 = _c2f(h["c2f_up4"], u4, False)
-    u3 = jnp.concatenate([_upsample2x(f4), p3], axis=-1)
-    f3 = _c2f(h["c2f_up3"], u3, False)               # detect P3
-    d4 = jnp.concatenate([_conv(h["down4"], f3, stride=2), f4], axis=-1)
+    if s2d_params is not None:
+        from .s2d import head_p3_s2d
+
+        out0, dre = head_p3_s2d(s2d_params["head"], f4, p3s)
+        d4 = jnp.concatenate([dre, f4], axis=-1)
+    else:
+        u3 = jnp.concatenate([_upsample2x(f4), p3], axis=-1)
+        f3 = _c2f(h["c2f_up3"], u3, False)           # detect P3
+        d4 = jnp.concatenate([_conv(h["down4"], f3, stride=2), f4], axis=-1)
     g4 = _c2f(h["c2f_down4"], d4, False)             # detect P4
     d5 = jnp.concatenate([_conv(h["down5"], g4, stride=2), p5], axis=-1)
     g5 = _c2f(h["c2f_down5"], d5, False)             # detect P5
 
     outs = []
-    for lvl, feat in enumerate([f3, g4, g5]):
+    feats = [None, g4, g5] if s2d_params is not None else [f3, g4, g5]
+    for lvl, feat in enumerate(feats):
+        if feat is None:
+            outs.append(out0)  # level 0 computed in s2d space
+            continue
         dp = params["detect"][lvl]
         box = _conv(dp["box2"], _conv(dp["box1"], feat))
         box = _conv(dp["box3"], box, act=False)      # (B, s, s, 4*reg_max)

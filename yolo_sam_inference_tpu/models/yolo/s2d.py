@@ -167,16 +167,77 @@ def transform_backbone_params(params: Params) -> Params:
         "down3": _s2d_conv_params(b["down3"], 2),
         "c2f3": c2f(b["c2f3"]),
         "down4": _s2d_conv_params(b["down4"], 2, s2d_out=False),
+        "head": transform_head_p3_params(params),
     }
+
+
+def transform_head_p3_params(params: Params) -> Params:
+    """s2d weights for the FPN head's narrow P3 branch (c2f_up3, the down4
+    re-entry conv, and the level-0 detect towers)."""
+    h = params["head"]
+    d0 = params["detect"][0]
+
+    def c2f(p):
+        return {
+            "cv1": _s2d_conv_params(p["cv1"], 1),
+            "cv2": _s2d_conv_params(p["cv2"], 1),
+            "m": [
+                {
+                    "cv1": _s2d_conv_params(m["cv1"], 1),
+                    "cv2": _s2d_conv_params(m["cv2"], 1),
+                }
+                for m in p["m"]
+            ],
+        }
+
+    return {
+        "c2f_up3": c2f(h["c2f_up3"]),
+        "down4": _s2d_conv_params(h["down4"], 2, s2d_out=False),
+        "detect0": {
+            "box1": _s2d_conv_params(d0["box1"], 1),
+            "box2": _s2d_conv_params(d0["box2"], 1),
+            "box3": _s2d_conv_params(d0["box3"], 1),
+            "cls1": _s2d_conv_params(d0["cls1"], 1),
+            "cls2": _s2d_conv_params(d0["cls2"], 1),
+            "cls3": _s2d_conv_params(d0["cls3"], 1),
+        },
+    }
+
+
+def head_p3_s2d(
+    head_s2d: Params, f4: jnp.ndarray, p3_s2d: jnp.ndarray
+) -> tuple:
+    """The P3 head branch in s2d space.
+
+    f4: native (S/16, c4) from c2f_up4; p3_s2d: (S/16, 4*c3). Returns
+    (detect level-0 output native (S/8, 4*reg_max + nc), down4-re-entry
+    native (S/16, c3)). Equivalent to the native u3/c2f_up3/detect[0]/down4
+    path: 2x nearest upsampling in s2d space is a per-channel 4-repeat
+    (every sub-pixel of a block holds the same source pixel, c-major).
+    """
+    up = jnp.repeat(f4, 4, axis=-1)  # s2d of _upsample2x(f4)
+    u3 = jnp.concatenate([up, p3_s2d], axis=-1)
+    f3 = _c2f_s2d(head_s2d["c2f_up3"], u3, False)  # (S/16, 4*c3)
+    d0 = head_s2d["detect0"]
+    box = _conv_s2d(d0["box2"], _conv_s2d(d0["box1"], f3, k=3), k=3)
+    box = _conv_s2d(d0["box3"], box, k=1, act=False)
+    cls = _conv_s2d(d0["cls2"], _conv_s2d(d0["cls1"], f3, k=3), k=3)
+    cls = _conv_s2d(d0["cls3"], cls, k=1, act=False)
+    out0 = jnp.concatenate(
+        [depth_to_space(box), depth_to_space(cls)], axis=-1
+    )
+    down = _conv_s2d(head_s2d["down4"], f3, k=3, stride=2, s2d_out=False)
+    return out0, down
 
 
 def backbone_prefix_s2d(
     s2d_params: Params, images: jnp.ndarray
 ) -> tuple:
-    """images (B, S, S, 3) -> (p3 native (S/8, C3), down4-out native (S/16, C4)).
+    """images (B, S, S, 3) -> (p3 s2d (S/16, 4*C3), down4-out native (S/16, C4)).
 
     Exactly equivalent to the native stem..down4 prefix of
-    :func:`..model.yolo_forward`, executed in s2d space.
+    :func:`..model.yolo_forward`, executed in s2d space. p3 stays in s2d
+    layout for :func:`head_p3_s2d`.
     """
     x = space_to_depth(images)  # (S/2, 12)
     x = _conv_s2d(s2d_params["stem"], x, k=3, stride=2)  # P1 s2d: (S/4, 4c1)
@@ -184,6 +245,5 @@ def backbone_prefix_s2d(
     x = _c2f_s2d(s2d_params["c2f2"], x, True)
     x = _conv_s2d(s2d_params["down3"], x, k=3, stride=2)  # P3 s2d: (S/16, 4c3)
     x = _c2f_s2d(s2d_params["c2f3"], x, True)
-    p3 = depth_to_space(x)  # native (S/8, c3) for the FPN head
     x4 = _conv_s2d(s2d_params["down4"], x, k=3, stride=2, s2d_out=False)
-    return p3, x4
+    return x, x4

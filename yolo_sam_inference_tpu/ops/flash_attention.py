@@ -527,6 +527,45 @@ def _relpos_tables_kernel(
     o_ref[0] = jnp.concatenate([rh, rw], axis=-1).astype(o_ref.dtype)
 
 
+def _relpos_tables_kernel_big(
+    q_ref, th_ref, tw_ref, o_ref, *, heads: int, hd: int, w: int, s: int
+):
+    """Full-image variant: ONE block-diagonal table contraction for all
+    heads ((s*s, C) @ (C, heads*(2w-1)); the 15/16-zero waste is free — the
+    MXU contracts 128-deep lanes regardless), then static-slice assembly.
+    Used when the (s, s, C) block fits VMEM (every 512-input layer)."""
+    q = q_ref[0]  # (s, s, C)
+    c = heads * hd
+    d2 = 2 * w - 1
+    f = jax.lax.dot_general(
+        q.reshape(s * s, c), th_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(s, s, heads * d2)
+    g = jax.lax.dot_general(
+        q.transpose(1, 0, 2).reshape(s * s, c), tw_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(s, s, heads * d2)
+
+    def rows(fy, shift):
+        return jnp.concatenate(
+            [
+                jax.lax.slice(
+                    fy, (0, h * d2 + shift), (s, h * d2 + shift + w)
+                )
+                for h in range(heads)
+            ],
+            axis=-1,
+        )  # (s, heads*w)
+
+    rh = jnp.stack([rows(f[y], w - 1 - y % w) for y in range(s)], axis=0)
+    rw = jnp.stack(
+        [rows(g[x], w - 1 - x % w) for x in range(s)], axis=0
+    ).transpose(1, 0, 2)
+    o_ref[0] = jnp.concatenate([rh, rw], axis=-1).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "window", "interpret"))
 def relpos_tables(
     qkv: jnp.ndarray,
@@ -545,9 +584,37 @@ def relpos_tables(
     c = c3 // 3
     hd = c // heads
     w = window
+    d2 = 2 * w - 1
     assert rel_pos_h.shape == (2 * w - 1, hd), (rel_pos_h.shape, w, hd)
     rt = rel_pos_h[::-1].astype(qkv.dtype)
     wt = rel_pos_w[::-1].astype(qkv.dtype)
+
+    if s <= 32:
+        # full-image blocks: 2 dots/block instead of 2*heads, half the grid
+        eye = jnp.eye(heads, dtype=qkv.dtype)[:, None, :, None]
+        tbh = (eye * rt.T[None, :, None, :]).reshape(c, heads * d2)
+        tbw = (eye * wt.T[None, :, None, :]).reshape(c, heads * d2)
+        kernel = functools.partial(
+            _relpos_tables_kernel_big, heads=heads, hd=hd, w=w, s=s
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, s, s, c), lambda bi: (bi, 0, 0, 0)),
+                pl.BlockSpec((c, heads * d2), lambda bi: (0, 0)),
+                pl.BlockSpec((c, heads * d2), lambda bi: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, s, s, 2 * heads * w), lambda bi: (bi, 0, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, s, s, 2 * heads * w), qkv.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(qkv, tbh, tbw)
+
     kernel = functools.partial(
         _relpos_tables_kernel, heads=heads, hd=hd, w=w, s=s
     )
