@@ -16,8 +16,21 @@ import time
 import numpy as np
 
 
+
+def _enable_compile_cache(jax):
+    """Persistent compile cache: the remote-compile tunnel costs minutes per
+    process otherwise (the in-memory cache is per-process)."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
 def main() -> None:
     import jax
+
+    _enable_compile_cache(jax)
     import jax.numpy as jnp
 
     from yolo_sam_inference_tpu.pipeline.engine import (
@@ -25,7 +38,7 @@ def main() -> None:
         PipelineOptions,
     )
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     max_det = int(os.environ.get("BENCH_MAX_DET", "16"))

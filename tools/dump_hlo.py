@@ -13,7 +13,21 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+
+def _enable_compile_cache(jax):
+    """Persistent compile cache: the remote-compile tunnel costs minutes per
+    process otherwise (the in-memory cache is per-process)."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
 def main() -> None:
+    import jax
+
+    _enable_compile_cache(jax)
     import jax.numpy as jnp
 
     from yolo_sam_inference_tpu.pipeline.engine import (

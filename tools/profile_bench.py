@@ -19,8 +19,21 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+
+def _enable_compile_cache(jax):
+    """Persistent compile cache: the remote-compile tunnel costs minutes per
+    process otherwise (the in-memory cache is per-process)."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
 def run_and_trace(tracedir: str) -> None:
     import jax
+
+    _enable_compile_cache(jax)
     import jax.numpy as jnp
 
     from yolo_sam_inference_tpu.pipeline.engine import (
@@ -43,6 +56,20 @@ def run_and_trace(tracedir: str) -> None:
         np.asarray(leaf.reshape(-1)[0])
 
     sync(pipe.fused_call(dev))  # compile+warm
+    # dump the optimized HLO of the same program for attribute_trace.py
+    # (hits the in-process/persistent compile cache — no second compile)
+    try:
+        st = pipe._stages(size, size)
+        txt = (
+            st["fused"]
+            .lower(st["yolo_params"], st["sam_params"], dev)
+            .compile()
+            .as_text()
+        )
+        with open("/tmp/fused_hlo.txt", "w") as f:
+            f.write(txt)
+    except Exception as e:  # HLO text is best-effort
+        print(f"hlo dump failed: {e}")
     jax.profiler.start_trace(tracedir)
     for _ in range(3):
         out = pipe.fused_call(dev)

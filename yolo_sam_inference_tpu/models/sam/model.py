@@ -686,6 +686,9 @@ def sam_mask_decoder_tokens(
                 heads=heads, k_share=share, eps=eps,
                 t2i={"qp": qp2, "wk": t2i_p["k"]["w"], "bk": t2i_p["k"]["b"],
                      "wv": t2i_p["v"]["w"], "bv": t2i_p["v"]["b"]},
+                # final layer writes straight into the (gs, gs, C) grid the
+                # mask head slices (saves a full-stream relayout copy)
+                out_grid=gs if last else 0,
             )
             attn = _linear(t2i_p["out"], t2i_attn)
             if not last:
@@ -741,7 +744,8 @@ def sam_mask_decoder_tokens(
         axis=1,
     )  # (B*K, M, C/8)
     iou = _feed_forward(dp["iou_head"], iou_token_out).reshape(b, k, cfg.num_mask_tokens)
-    keys_grid = keys.reshape(b * k, gs, gs, c)
+    # the fused decoder's last pass already emits the (gs, gs, C) grid
+    keys_grid = keys if keys.ndim == 4 else keys.reshape(b * k, gs, gs, c)
     return iou, hyper, keys_grid
 
 

@@ -43,6 +43,7 @@ def _i2t_update_kernel(
     wq_ref, bq_ref, wout_ref, bout_ref, lns_ref, lnb_ref,
     *rest,
     heads: int, tq: int, scale: float, eps: float, with_t2i: bool,
+    out_grid: int = 0,
 ):
     if with_t2i:
         (qbd_ref, wk2_ref, bk2_ref, wv2_ref, bv2_ref,
@@ -93,7 +94,12 @@ def _i2t_update_kernel(
     keys_new = (
         d * jax.lax.rsqrt(var + eps) * lns_ref[...] + lnb_ref[...]
     ).astype(o_ref.dtype)
-    o_ref[0] = keys_new
+    if out_grid:
+        # final layer: store straight into the (gs, gs, C) grid layout the
+        # mask head consumes (saves a 268 MB relayout copy downstream)
+        o_ref[0] = keys_new.reshape(out_grid, out_grid, keys_new.shape[-1])
+    else:
+        o_ref[0] = keys_new
 
     if not with_t2i:
         return
@@ -134,7 +140,7 @@ def _i2t_update_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "k_share", "eps", "interpret")
+    jax.jit, static_argnames=("heads", "k_share", "eps", "interpret", "out_grid")
 )
 def i2t_keys_update(
     keys_src: jnp.ndarray,
@@ -152,6 +158,7 @@ def i2t_keys_update(
     eps: float = 1e-6,
     interpret: bool = False,
     t2i: Optional[dict] = None,
+    out_grid: int = 0,
 ):
     """One fused i2t + residual + LayerNorm pass over the keys stream.
 
@@ -183,7 +190,7 @@ def i2t_keys_update(
 
     kernel = functools.partial(
         _i2t_update_kernel, heads=heads, tq=tq, scale=scale, eps=eps,
-        with_t2i=t2i is not None,
+        with_t2i=t2i is not None, out_grid=out_grid,
     )
     in_specs = [
         pl.BlockSpec((1, t, c), lambda i: (i // k_share, 0, 0)),
@@ -211,8 +218,17 @@ def i2t_keys_update(
         ln_scale.reshape(1, c).astype(jnp.float32),
         ln_bias.reshape(1, c).astype(jnp.float32),
     ]
-    out_specs = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0))
-    out_shape = jax.ShapeDtypeStruct((n, t, c), keys_src.dtype)
+    if out_grid:
+        assert out_grid * out_grid == t
+        out_specs = pl.BlockSpec(
+            (1, out_grid, out_grid, c), lambda i: (i, 0, 0, 0)
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (n, out_grid, out_grid, c), keys_src.dtype
+        )
+    else:
+        out_specs = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((n, t, c), keys_src.dtype)
     if t2i is not None:
         qp2 = t2i["qp"]
         tq2, dh2 = qp2.shape[1], qp2.shape[2]

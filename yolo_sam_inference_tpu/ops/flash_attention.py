@@ -528,25 +528,38 @@ def _relpos_tables_kernel(
 
 
 def _relpos_tables_kernel_big(
-    q_ref, th_ref, tw_ref, o_ref, *, heads: int, hd: int, w: int, s: int
+    q_ref, th_ref, tw_ref, o_ref,
+    *, heads: int, hd: int, w: int, s: int, pack: int,
 ):
-    """Full-image variant: ONE block-diagonal table contraction for all
-    heads ((s*s, C) @ (C, heads*(2w-1)); the 15/16-zero waste is free — the
-    MXU contracts 128-deep lanes regardless), then static-slice assembly.
-    Used when the (s, s, C) block fits VMEM (every 512-input layer)."""
+    """Full-image variant: block-diagonal table contractions over ``pack``
+    heads at a time (pack chosen so pack*hd = the MXU's 128-lane contraction
+    depth — only (pack-1)/pack FLOP waste instead of (heads-1)/heads for one
+    all-heads contraction), then static-slice assembly. Used when the
+    (s, s, C) block fits VMEM (every 512-input layer)."""
     q = q_ref[0]  # (s, s, C)
     c = heads * hd
     d2 = 2 * w - 1
-    f = jax.lax.dot_general(
-        q.reshape(s * s, c), th_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(s, s, heads * d2)
-    g = jax.lax.dot_general(
-        q.transpose(1, 0, 2).reshape(s * s, c), tw_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(s, s, heads * d2)
+    groups = heads // pack
+    q2 = q.reshape(s * s, c)
+    qt2 = q.transpose(1, 0, 2).reshape(s * s, c)
+    fs, gs_ = [], []
+    for gi in range(groups):
+        qg = q2[:, gi * pack * hd : (gi + 1) * pack * hd]
+        fs.append(
+            jax.lax.dot_general(
+                qg, th_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # (s*s, pack*d2)
+        qtg = qt2[:, gi * pack * hd : (gi + 1) * pack * hd]
+        gs_.append(
+            jax.lax.dot_general(
+                qtg, tw_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    f = jnp.concatenate(fs, axis=-1).reshape(s, s, heads * d2)
+    g = jnp.concatenate(gs_, axis=-1).reshape(s, s, heads * d2)
 
     def rows(fy, shift):
         return jnp.concatenate(
@@ -590,20 +603,25 @@ def relpos_tables(
     wt = rel_pos_w[::-1].astype(qkv.dtype)
 
     if s <= 32:
-        # full-image blocks: 2 dots/block instead of 2*heads, half the grid
-        eye = jnp.eye(heads, dtype=qkv.dtype)[:, None, :, None]
-        tbh = (eye * rt.T[None, :, None, :]).reshape(c, heads * d2)
-        tbw = (eye * wt.T[None, :, None, :]).reshape(c, heads * d2)
+        # full-image blocks; tables packed pack-heads-at-a-time so each dot
+        # contracts the full 128 MXU lanes with minimal block-diagonal waste
+        pack = max(
+            d for d in range(1, heads + 1)
+            if heads % d == 0 and d * hd <= 128
+        )
+        eye = jnp.eye(pack, dtype=qkv.dtype)[:, None, :, None]
+        tbh = (eye * rt.T[None, :, None, :]).reshape(pack * hd, pack * d2)
+        tbw = (eye * wt.T[None, :, None, :]).reshape(pack * hd, pack * d2)
         kernel = functools.partial(
-            _relpos_tables_kernel_big, heads=heads, hd=hd, w=w, s=s
+            _relpos_tables_kernel_big, heads=heads, hd=hd, w=w, s=s, pack=pack
         )
         return pl.pallas_call(
             kernel,
             grid=(b,),
             in_specs=[
                 pl.BlockSpec((1, s, s, c), lambda bi: (bi, 0, 0, 0)),
-                pl.BlockSpec((c, heads * d2), lambda bi: (0, 0)),
-                pl.BlockSpec((c, heads * d2), lambda bi: (0, 0)),
+                pl.BlockSpec((pack * hd, pack * d2), lambda bi: (0, 0)),
+                pl.BlockSpec((pack * hd, pack * d2), lambda bi: (0, 0)),
             ],
             out_specs=pl.BlockSpec(
                 (1, s, s, 2 * heads * w), lambda bi: (bi, 0, 0, 0)
