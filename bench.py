@@ -38,7 +38,7 @@ def main() -> None:
         PipelineOptions,
     )
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     max_det = int(os.environ.get("BENCH_MAX_DET", "16"))

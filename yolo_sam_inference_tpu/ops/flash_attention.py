@@ -222,6 +222,7 @@ def _flash_grid_kernel(
     num_k: int,
     scale: float,
     fuse_proj: bool,
+    wps: int = 1,
 ):
     if fuse_proj:
         (q_ref, k_ref, v_ref, rhw_ref, wp_ref, bp_ref,
@@ -231,6 +232,7 @@ def _flash_grid_kernel(
         wp_ref = bp_ref = None
     ki = pl.program_id(2)
     single = num_k == 1  # whole window per step: plain softmax, no scratch IO
+    assert wps == 1 or single
 
     if not single:
         @pl.when(ki == 0)
@@ -239,79 +241,83 @@ def _flash_grid_kernel(
             l_scr[:] = jnp.zeros_like(l_scr)
             acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    qt = q_ref[0]  # (bqy, wsx, C)
+    qt = q_ref[0]  # (bqy, wps*wsx, C)
     kt = k_ref[0]
     vt = v_ref[0]
-    rhw = rhw_ref[0]  # (bqy, wsx, 2*heads*wk)
+    rhw = rhw_ref[0]  # (bqy, wps*wsx, 2*heads*wk)
     nq = qt.shape[0] * wsx
     nk = kt.shape[0] * wsx
     c = heads * hd
-    qf = qt.reshape(nq, c)
-    kf = kt.reshape(nk, c)
-    vf = vt.reshape(nk, c)
-    rhwf = rhw.reshape(nq, 2 * heads * wk)
 
     # local (row, col) one-hots of each k token in this k block, laid out
     # (nk, wk) so they append directly onto k's contraction axis: rows are
     # global window rows [ki*bky, ki*bky + bky), columns all wsx
     kk = jax.lax.broadcasted_iota(jnp.int32, (nk, wk), 0)
     jcol = jax.lax.broadcasted_iota(jnp.int32, (nk, wk), 1)
-    e_ky = (jcol == kk // wsx + ki * bky).astype(qf.dtype)  # (nk, wk)
-    e_kx = (jcol == kk % wsx).astype(qf.dtype)
+    e_ky = (jcol == kk // wsx + ki * bky).astype(qt.dtype)  # (nk, wk)
+    e_kx = (jcol == kk % wsx).astype(qt.dtype)
     e_kyx = jnp.concatenate([e_ky, e_kx], axis=1)  # (nk, 2*wk)
 
-    outs = []
-    for h in range(heads):
-        q = qf[:, h * hd : (h + 1) * hd]
-        k = kf[:, h * hd : (h + 1) * hd]
-        v = vf[:, h * hd : (h + 1) * hd]
-        # Bias folded into the contraction: with hd = 64 the bare qk^T wastes
-        # half the MXU's 128-deep contraction anyway, so augmenting
-        #   q' = [q * scale, rh, rw]   k' = [k | onehot(ky) | onehot(kx)]
-        # computes scale*qk^T + rh[q, ky] + rw[q, kx] in ONE matmul issue
-        # where the unfolded form needed three (qk + two bias reconstructions
-        # with tiny contraction depths — each still a full MXU pass).
-        rh_rw = rhwf[:, h * wk : (h + 1) * wk], rhwf[:, (heads + h) * wk : (heads + h + 1) * wk]
-        q_aug = jnp.concatenate(
-            [q * q.dtype.type(scale), rh_rw[0], rh_rw[1]], axis=1
-        )  # (nq, hd + 2*wk)
-        k_aug = jnp.concatenate([k, e_kyx], axis=1)  # (nk, hd + 2*wk)
-        s = jax.lax.dot_general(
-            q_aug,
-            k_aug,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (nq, nk) fp32
+    def one_window(qf, kf, vf, rhwf):
+        """Per-head attention within one window; returns (nq, C) unprojected
+        output (single path) or None (online-softmax accumulation path)."""
+        outs = []
+        for h in range(heads):
+            q = qf[:, h * hd : (h + 1) * hd]
+            k = kf[:, h * hd : (h + 1) * hd]
+            v = vf[:, h * hd : (h + 1) * hd]
+            # Bias folded into the contraction: with hd = 64 the bare qk^T
+            # wastes half the MXU's 128-deep contraction anyway, so
+            #   q' = [q * scale, rh, rw]   k' = [k | onehot(ky) | onehot(kx)]
+            # computes scale*qk^T + rh[q, ky] + rw[q, kx] in ONE matmul issue
+            # instead of three.
+            rh_rw = (
+                rhwf[:, h * wk : (h + 1) * wk],
+                rhwf[:, (heads + h) * wk : (heads + h + 1) * wk],
+            )
+            q_aug = jnp.concatenate(
+                [q * q.dtype.type(scale), rh_rw[0], rh_rw[1]], axis=1
+            )  # (nq, hd + 2*wk)
+            k_aug = jnp.concatenate([k, e_kyx], axis=1)  # (nk, hd + 2*wk)
+            s = jax.lax.dot_general(
+                q_aug,
+                k_aug,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (nq, nk) fp32
 
-        if single:
+            if single:
+                m_cur = jnp.max(s, axis=1, keepdims=True)
+                p = jnp.exp((s - m_cur).astype(v.dtype))  # bf16 exp (args <= 0)
+                l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+                o_h = jax.lax.dot_general(
+                    p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) / jnp.maximum(l, 1e-30)
+                outs.append(o_h)
+                continue
+
+            r0 = h * nq
+            m_prev = m_scr[r0 : r0 + nq, 0:1]
             m_cur = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp((s - m_cur).astype(v.dtype))  # bf16 exp (args <= 0)
-            l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
-            o_h = jax.lax.dot_general(
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp((s - m_new).astype(v.dtype))  # bf16 exp (args <= 0)
+            l_new = alpha * l_scr[r0 : r0 + nq, 0:1] + jnp.sum(
+                p, axis=1, keepdims=True, dtype=jnp.float32
+            )
+            acc_scr[r0 : r0 + nq, :] = acc_scr[r0 : r0 + nq, :] * alpha + jax.lax.dot_general(
                 p, v, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) / jnp.maximum(l, 1e-30)
-            outs.append(o_h)
-            continue
+            )
+            m_scr[r0 : r0 + nq, :] = jnp.broadcast_to(m_new, (nq, m_scr.shape[1]))
+            l_scr[r0 : r0 + nq, :] = jnp.broadcast_to(l_new, (nq, l_scr.shape[1]))
+        if single:
+            return jnp.concatenate(outs, axis=-1)
+        return None
 
-        r0 = h * nq
-        m_prev = m_scr[r0 : r0 + nq, 0:1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp((s - m_new).astype(v.dtype))  # bf16 exp (args <= 0)
-        l_new = alpha * l_scr[r0 : r0 + nq, 0:1] + jnp.sum(
-            p, axis=1, keepdims=True, dtype=jnp.float32
-        )
-        acc_scr[r0 : r0 + nq, :] = acc_scr[r0 : r0 + nq, :] * alpha + jax.lax.dot_general(
-            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[r0 : r0 + nq, :] = jnp.broadcast_to(m_new, (nq, m_scr.shape[1]))
-        l_scr[r0 : r0 + nq, :] = jnp.broadcast_to(l_new, (nq, l_scr.shape[1]))
-
-    def write_out(o):
-        # o: (nq, C) fp32/f32-accumulated attention output, head-major
+    def project(o):
+        # o: (rows, C) attention output, head-major
         o = o.astype(o_ref.dtype)
         if fuse_proj:
             o = (
@@ -322,11 +328,43 @@ def _flash_grid_kernel(
                 )
                 + bp_ref[...]
             ).astype(o_ref.dtype)
-        o_ref[0] = o.reshape(o_ref.shape[1], wsx, c)
+        return o
 
     if single:
-        write_out(jnp.concatenate(outs, axis=-1))
+        bqy = qt.shape[0]
+        if wps == 1:
+            o = one_window(
+                qt.reshape(nq, c),
+                kt.reshape(nk, c),
+                vt.reshape(nk, c),
+                rhw.reshape(nq, 2 * heads * wk),
+            )
+            o_ref[0] = project(o).reshape(bqy, wsx, c)
+            return
+        # wps adjacent windows along x per grid step (amortizes the
+        # per-step fixed costs that dominate small-window layers); the
+        # output projection runs ONCE on the concatenated tokens
+        wouts = []
+        for wi in range(wps):
+            sl = slice(wi * wsx, (wi + 1) * wsx)
+            wouts.append(
+                one_window(
+                    qt[:, sl, :].reshape(nq, c),
+                    kt[:, sl, :].reshape(nk, c),
+                    vt[:, sl, :].reshape(nk, c),
+                    rhw[:, sl, :].reshape(nq, 2 * heads * wk),
+                ).reshape(bqy, wsx, c)
+            )
+        o = jnp.concatenate(wouts, axis=1).reshape(bqy * wps * wsx, c)
+        o_ref[0] = project(o).reshape(bqy, wps * wsx, c)
         return
+
+    one_window(
+        qt.reshape(nq, c),
+        kt.reshape(nk, c),
+        vt.reshape(nk, c),
+        rhw.reshape(nq, 2 * heads * wk),
+    )
 
     @pl.when(ki == num_k - 1)
     def _():
@@ -337,7 +375,8 @@ def _flash_grid_kernel(
                 acc_scr[r0 : r0 + nq, :]
                 / jnp.maximum(l_scr[r0 : r0 + nq, 0:1], 1e-30)
             )
-        write_out(jnp.concatenate(fin, axis=-1))
+        o = project(jnp.concatenate(fin, axis=-1))
+        o_ref[0] = o.reshape(o_ref.shape[1], wsx, c)
 
 
 @functools.partial(
@@ -381,37 +420,55 @@ def flash_attention_grid(
 
     # default tiles: <= 256 q tokens / <= 1024 k tokens per step — the
     # per-head scratch (heads * nq rows x 128 lanes fp32) plus double-buffered
-    # blocks must fit the ~16 MB VMEM budget
+    # blocks must fit the ~16 MB VMEM budget. Wide-channel configs (ViT-L/H,
+    # C >= 1024) halve both budgets: the folded-bias k_aug temporaries scale
+    # with heads * nk and overflow VMEM at the ViT-B tile sizes.
+    kq_budget, qq_budget = (1024, 256) if c < 1024 else (512, 128)
     if block_ky is None:
         block_ky = max(d for d in range(1, window + 1)
-                       if window % d == 0 and d * window <= 1024)
+                       if window % d == 0 and d * window <= kq_budget)
     if block_qy is None:
         block_qy = (
             max(d for d in range(1, window + 1)
-                if window % d == 0 and d * window <= 256)
+                if window % d == 0 and d * window <= qq_budget)
             if window > 16
             else window
         )
     num_q = window // block_qy
     num_k = window // block_ky
     nq = block_qy * window
-    grid = (b * nw * nw, num_q, num_k)
+    # small windows: process several adjacent windows along x per grid step
+    # — per-step fixed costs (DMA scheduling, loop prologue) dominate
+    # small-window layers; windows stay attention-isolated via an in-kernel
+    # loop, and the output projection runs once on the combined tokens
+    wps = 1
+    if num_k == 1 and num_q == 1:
+        # VMEM bound: the q/k/v/rhw/out blocks + per-head fp32 logits all
+        # scale with wps * window^2 * C (ViT-L's C=1024 overflows at wps=2)
+        wps = max(
+            d for d in range(1, nw + 1)
+            if nw % d == 0
+            and d * window * window <= 1024
+            and d * window * window * c <= 400_000
+        )
+    nwx = nw // wps
+    grid = (b * nw * nwx, num_q, num_k)
 
     def qmap(g, qi, ki):
-        wy, wx = (g // nw) % nw, g % nw
-        return (g // (nw * nw), wy * num_q + qi, wx, 0)
+        wy, wx = (g // nwx) % nw, g % nwx
+        return (g // (nw * nwx), wy * num_q + qi, wx, 0)
 
     def kmap(g, qi, ki):
-        wy, wx = (g // nw) % nw, g % nw
-        return (g // (nw * nw), wy * num_k + ki, wx, 1)
+        wy, wx = (g // nwx) % nw, g % nwx
+        return (g // (nw * nwx), wy * num_k + ki, wx, 1)
 
     def vmap_(g, qi, ki):
-        wy, wx = (g // nw) % nw, g % nw
-        return (g // (nw * nw), wy * num_k + ki, wx, 2)
+        wy, wx = (g // nwx) % nw, g % nwx
+        return (g // (nw * nwx), wy * num_k + ki, wx, 2)
 
     def omap(g, qi, ki):
-        wy, wx = (g // nw) % nw, g % nw
-        return (g // (nw * nw), wy * num_q + qi, wx, 0)
+        wy, wx = (g // nwx) % nw, g % nwx
+        return (g // (nw * nwx), wy * num_q + qi, wx, 0)
 
     fuse_proj = wproj is not None
     kernel = functools.partial(
@@ -424,12 +481,13 @@ def flash_attention_grid(
         num_k=num_k,
         scale=hd ** -0.5,
         fuse_proj=fuse_proj,
+        wps=wps,
     )
     in_specs = [
-        pl.BlockSpec((1, block_qy, window, c), qmap),
-        pl.BlockSpec((1, block_ky, window, c), kmap),
-        pl.BlockSpec((1, block_ky, window, c), vmap_),
-        pl.BlockSpec((1, block_qy, window, 2 * heads * wk), omap),
+        pl.BlockSpec((1, block_qy, wps * window, c), qmap),
+        pl.BlockSpec((1, block_ky, wps * window, c), kmap),
+        pl.BlockSpec((1, block_ky, wps * window, c), vmap_),
+        pl.BlockSpec((1, block_qy, wps * window, 2 * heads * wk), omap),
     ]
     inputs = [qkv, qkv, qkv, rhw]
     if fuse_proj:
@@ -445,7 +503,7 @@ def flash_attention_grid(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_qy, window, c), omap),
+        out_specs=pl.BlockSpec((1, block_qy, wps * window, c), omap),
         out_shape=jax.ShapeDtypeStruct((b, s, s, c), qkv.dtype),
         scratch_shapes=(
             [  # online-softmax state, only touched when num_k > 1
@@ -633,23 +691,32 @@ def relpos_tables(
             interpret=interpret,
         )(qkv, tbh, tbw)
 
+    # column tiling keeps wide-channel blocks (ViT-L/H at 1024-input) inside
+    # VMEM; sc must be a multiple of w so window-local x stays static
+    sc = max(
+        [
+            d for d in range(w, s + 1, w)
+            if s % d == 0 and w * d * c * 2 <= 1_800_000
+        ]
+        or [w]
+    )
     kernel = functools.partial(
-        _relpos_tables_kernel, heads=heads, hd=hd, w=w, s=s
+        _relpos_tables_kernel, heads=heads, hd=hd, w=w, s=sc
     )
     return pl.pallas_call(
         kernel,
-        grid=(b, s // w),
+        grid=(b, s // w, s // sc),
         in_specs=[
-            pl.BlockSpec((1, w, s, c), lambda bi, yi: (bi, yi, 0, 0)),
-            pl.BlockSpec((2 * w - 1, hd), lambda bi, yi: (0, 0)),
-            pl.BlockSpec((2 * w - 1, hd), lambda bi, yi: (0, 0)),
+            pl.BlockSpec((1, w, sc, c), lambda bi, yi, xi: (bi, yi, xi, 0)),
+            pl.BlockSpec((2 * w - 1, hd), lambda bi, yi, xi: (0, 0)),
+            pl.BlockSpec((2 * w - 1, hd), lambda bi, yi, xi: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, w, s, 2 * heads * w), lambda bi, yi: (bi, yi, 0, 0)
+            (1, w, sc, 2 * heads * w), lambda bi, yi, xi: (bi, yi, xi, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((b, s, s, 2 * heads * w), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(qkv, rt, wt)

@@ -47,17 +47,28 @@ def _nms_single(
     iou = _iou_matrix(top_boxes)
 
     # Greedy: in score order, keep box i iff no higher-scoring *kept* box
-    # overlaps it above the threshold. Sequential scan over K candidates.
-    suppress = iou > iou_threshold
+    # overlaps it above the threshold. The greedy assignment is the UNIQUE
+    # fixpoint of  kept[i] = conf_ok[i] & ~any(j < i: kept[j] & sup[j, i])
+    # (induction over score order), so instead of a K-step sequential scan
+    # we iterate the full-vector update to convergence — after t sweeps at
+    # least the first t+1 decisions are final, and real detection sets
+    # converge in 2-4 sweeps (suppression chains are shallow).
+    conf_ok = top_scores >= conf_threshold
+    ii = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    m = (ii < jj) & (iou > iou_threshold)  # m[j, i]: j precedes and suppresses i
 
-    def body(i, kept):
-        # kept: (K,) bool of decisions so far (only entries < i are final)
-        earlier = jax.lax.broadcasted_iota(jnp.int32, (k,), 0) < i
-        blocked = jnp.any(earlier & kept & suppress[i], axis=0)
-        keep_i = jnp.logical_and(top_scores[i] >= conf_threshold, ~blocked)
-        return kept.at[i].set(keep_i)
+    def cond(state):
+        _, changed = state
+        return changed
 
-    kept = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), dtype=bool))
+    def step(state):
+        kept, _ = state
+        blocked = jnp.any(kept[:, None] & m, axis=0)
+        new = conf_ok & ~blocked
+        return new, jnp.any(new != kept)
+
+    kept, _ = jax.lax.while_loop(cond, step, (conf_ok, jnp.asarray(True)))
 
     # compact kept detections to the front, pad to max_det
     order = jnp.argsort(~kept, stable=True)  # kept first, score order preserved
