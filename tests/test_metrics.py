@@ -356,3 +356,50 @@ def test_calculate_metrics_hull_mode_api():
     out_poly = calculate_metrics(image, mask)
     assert out_ref["deformability"] > out_poly["deformability"]
     assert out_ref["area"] == out_poly["area"]  # non-hull metrics unchanged
+
+
+def test_support_vertices_kernel_matches_select():
+    """Pallas hull support kernel == the einsum+select path (interpret)."""
+    import jax.numpy as jnp
+
+    from yolo_sam_inference_tpu.ops.hull_support import support_vertices_tpu
+    from yolo_sam_inference_tpu.ops.metrics import (
+        _hull_candidate_scores,
+        _hull_directions,
+        _select_support_points,
+    )
+
+    rng = np.random.default_rng(13)
+    masks = np.zeros((5, 24, 32), bool)
+    for i in range(4):  # leave one empty mask
+        r0, c0 = rng.integers(2, 10, 2)
+        masks[i, r0 : r0 + rng.integers(4, 12), c0 : c0 + rng.integers(4, 14)] = True
+        masks[i] &= rng.random((24, 32)) > 0.2
+    d = 128
+    pts, scores, _ = _hull_candidate_scores(jnp.asarray(masks), d)
+    want = np.asarray(_select_support_points(pts, scores))
+    dirs = jnp.asarray(_hull_directions(d))
+    sup = support_vertices_tpu(pts.transpose(0, 2, 1), dirs, interpret=True)
+    got = np.asarray(sup).transpose(0, 2, 1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_brightness_disk_batched_matches_slice_path(rng):
+    """Gather-free batched brightness disk == the per-cell slice version."""
+    import jax.numpy as jnp
+
+    from yolo_sam_inference_tpu.ops.metrics import (
+        _brightness_disk,
+        _brightness_disk_batched,
+    )
+
+    h, w = 96, 128
+    gray = jnp.asarray(rng.random((h, w)) * 255, jnp.float32)
+    cr = jnp.asarray([5.2, 47.9, 90.1, 33.0], jnp.float32)
+    cc = jnp.asarray([3.7, 64.5, 120.8, 33.0], jnp.float32)
+    radius = int(0.1 * min(h, w))
+    got_m, got_s = _brightness_disk_batched(gray, cr, cc, radius)
+    for i in range(4):
+        wm, ws = _brightness_disk(gray, cr[i], cc[i], radius)
+        np.testing.assert_allclose(float(got_m[i]), float(wm), rtol=1e-5)
+        np.testing.assert_allclose(float(got_s[i]), float(ws), rtol=1e-5, atol=1e-5)

@@ -383,3 +383,22 @@ def test_s2d_backbone_prefix_matches_native():
     outs_s2d = yolo_forward(params, x, cfg, s2d_params=s2d)
     for a, bb in zip(outs_ref, outs_s2d):
         np.testing.assert_allclose(np.asarray(bb), np.asarray(a), rtol=2e-5, atol=2e-5)
+
+
+def test_s2d_uint8_input_matches_normalized():
+    """s2d prefix on raw uint8 == native forward on images/255."""
+    import jax.numpy as jnp
+
+    from yolo_sam_inference_tpu.models.yolo import init_yolo_params, yolov8n
+    from yolo_sam_inference_tpu.models.yolo.model import yolo_forward
+    from yolo_sam_inference_tpu.models.yolo.s2d import transform_backbone_params
+
+    cfg = yolov8n()
+    params = init_yolo_params(3, cfg)
+    s2d = transform_backbone_params(params)
+    rng = np.random.default_rng(4)
+    img_u8 = rng.integers(0, 255, size=(2, 64, 64, 3), dtype=np.uint8)
+    want = yolo_forward(params, jnp.asarray(img_u8, jnp.float32) / 255.0, cfg)
+    got = yolo_forward(params, jnp.asarray(img_u8), cfg, s2d_params=s2d)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-5, atol=3e-5)

@@ -640,10 +640,33 @@ def sam_mask_decoder_tokens(
     )  # skip_first_layer_pe: output replaces queries
     queries = _layer_norm(lp0["ln1"], queries, eps)
 
-    kk_img = img_flat + img_pe  # (B, T, C)
-    q4 = (queries + point_pe).reshape(b, k, nt, c)
-    attn = _t2i_attention_shared(lp0["t2i"], q4, kk_img, img_flat, heads)
-    queries = _layer_norm(lp0["ln2"], queries + attn.reshape(b * k, nt, c), eps)
+    if _fused_i2t_enabled(c):
+        # layer-0 t2i rides the fused per-image kernel: k/v projections once
+        # per image, the (H*tq, T) softmax never leaves VMEM
+        from ...ops.decoder_fused import t2i_shared_attend
+
+        t2i0 = lp0["t2i"]
+        scale0 = (t2i0["q"]["w"].shape[1] // heads) ** -0.5
+        qp0 = _linear(t2i0["q"], queries + point_pe) * jnp.asarray(
+            scale0, queries.dtype
+        )
+        attn = _linear(
+            t2i0["out"],
+            t2i_shared_attend(
+                img_flat, img_pe, qp0,
+                t2i0["k"]["w"], t2i0["k"]["b"],
+                t2i0["v"]["w"], t2i0["v"]["b"],
+                heads=heads, k_share=k,
+            ),
+        )
+        queries = _layer_norm(lp0["ln2"], queries + attn, eps)
+    else:
+        kk_img = img_flat + img_pe  # (B, T, C)
+        q4 = (queries + point_pe).reshape(b, k, nt, c)
+        attn = _t2i_attention_shared(lp0["t2i"], q4, kk_img, img_flat, heads)
+        queries = _layer_norm(
+            lp0["ln2"], queries + attn.reshape(b * k, nt, c), eps
+        )
 
     mlp = _linear(lp0["mlp2"], jax.nn.relu(_linear(lp0["mlp1"], queries)))
     queries = _layer_norm(lp0["ln3"], queries + mlp, eps)

@@ -240,6 +240,10 @@ def backbone_prefix_s2d(
     layout for :func:`head_p3_s2d`.
     """
     x = space_to_depth(images)  # (S/2, 12)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        # raw uint8 input: the s2d transpose ran on 1/4 the bytes, and the
+        # /255 normalize fuses into the stem conv's input read
+        x = x.astype(s2d_params["stem"]["w"].dtype) * (1.0 / 255.0)
     x = _conv_s2d(s2d_params["stem"], x, k=3, stride=2)  # P1 s2d: (S/4, 4c1)
     x = _conv_s2d(s2d_params["down2"], x, k=3, stride=2)  # P2 s2d: (S/8, 4c2)
     x = _c2f_s2d(s2d_params["c2f2"], x, True)

@@ -43,14 +43,36 @@ def _i2t_update_kernel(
     wq_ref, bq_ref, wout_ref, bout_ref, lns_ref, lnb_ref,
     *rest,
     heads: int, tq: int, scale: float, eps: float, with_t2i: bool,
-    out_grid: int = 0,
+    out_grid: int = 0, pb: int = 1, shared_src: bool = False,
 ):
     if with_t2i:
         (qbd_ref, wk2_ref, bk2_ref, wv2_ref, bv2_ref,
          o_ref, t2i_ref) = rest
     else:
         (o_ref,) = rest
-    keys = keys_ref[0]  # (T, C)
+    for _p in range(pb):
+        _i2t_one_prompt(
+            keys_ref, pe_ref, kbd_ref, vbd_ref, g_ref,
+            wq_ref, bq_ref, wout_ref, bout_ref, lns_ref, lnb_ref,
+            rest, heads=heads, tq=tq, scale=scale, eps=eps,
+            with_t2i=with_t2i, out_grid=out_grid, p=_p,
+            src=0 if shared_src else _p,
+        )
+
+
+def _i2t_one_prompt(
+    keys_ref, pe_ref, kbd_ref, vbd_ref, g_ref,
+    wq_ref, bq_ref, wout_ref, bout_ref, lns_ref, lnb_ref,
+    rest,
+    *, heads: int, tq: int, scale: float, eps: float, with_t2i: bool,
+    out_grid: int, p: int, src: int,
+):
+    if with_t2i:
+        (qbd_ref, wk2_ref, bk2_ref, wv2_ref, bv2_ref,
+         o_ref, t2i_ref) = rest
+    else:
+        (o_ref,) = rest
+    keys = keys_ref[src]  # (T, C)
     kk = keys + pe_ref[...].astype(keys.dtype)
     qp = (
         jax.lax.dot_general(
@@ -60,7 +82,7 @@ def _i2t_update_kernel(
         + bq_ref[...]
     ) * scale  # (T, dh) fp32
     logits = jax.lax.dot_general(
-        qp.astype(keys.dtype), kbd_ref[0],
+        qp.astype(keys.dtype), kbd_ref[p],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (T, H*tq)
@@ -75,9 +97,9 @@ def _i2t_update_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (T, H*tq) broadcast back
-    p = (e * rden).astype(keys.dtype)
+    p_ = (e * rden).astype(keys.dtype)
     attn = jax.lax.dot_general(
-        p, vbd_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        p_, vbd_ref[p], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(keys.dtype)  # (T, dh)
     out = (
@@ -97,9 +119,9 @@ def _i2t_update_kernel(
     if out_grid:
         # final layer: store straight into the (gs, gs, C) grid layout the
         # mask head consumes (saves a 268 MB relayout copy downstream)
-        o_ref[0] = keys_new.reshape(out_grid, out_grid, keys_new.shape[-1])
+        o_ref[p] = keys_new.reshape(out_grid, out_grid, keys_new.shape[-1])
     else:
-        o_ref[0] = keys_new
+        o_ref[p] = keys_new
 
     if not with_t2i:
         return
@@ -124,7 +146,7 @@ def _i2t_update_kernel(
         + bv2_ref[...]
     ).astype(keys_new.dtype)
     logits2 = jax.lax.dot_general(
-        qbd_ref[0], kp2, dimension_numbers=(((1,), (1,)), ((), ())),
+        qbd_ref[p], kp2, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (H*tq, T) — row = (head, query token)
     m2 = jnp.max(logits2, axis=1, keepdims=True)
@@ -133,10 +155,108 @@ def _i2t_update_kernel(
     # full (H*tq, dh2) product; only each row-group's own head-block is
     # consumed host-side (the off-diagonal waste is tiny next to the
     # projections above)
-    t2i_ref[0] = jax.lax.dot_general(
+    t2i_ref[p] = jax.lax.dot_general(
         p2, vp2, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(t2i_ref.dtype)
+
+
+def _t2i_shared_kernel(
+    keys_ref, pe_ref, qbd_ref, wk_ref, bk_ref, wv_ref, bv_ref, o_ref,
+    *, kpi: int,
+):
+    kk = keys_ref[0] + pe_ref[...].astype(keys_ref.dtype)
+    kp = (
+        jax.lax.dot_general(
+            kk, wk_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bk_ref[...]
+    ).astype(kk.dtype)  # (T, dh2)
+    vp = (
+        jax.lax.dot_general(
+            keys_ref[0], wv_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bv_ref[...]
+    ).astype(kk.dtype)
+    for p in range(kpi):
+        logits = jax.lax.dot_general(
+            qbd_ref[p], kp, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H*tq, T)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(logits - m)
+        pr = (e / jnp.sum(e, axis=1, keepdims=True)).astype(kk.dtype)
+        o_ref[p] = jax.lax.dot_general(
+            pr, vp, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "k_share", "interpret"))
+def t2i_shared_attend(
+    keys_img: jnp.ndarray,
+    img_pe: jnp.ndarray,
+    qp: jnp.ndarray,
+    wk: jnp.ndarray,
+    bk: jnp.ndarray,
+    wv: jnp.ndarray,
+    bv: jnp.ndarray,
+    heads: int,
+    k_share: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Decoder layer-0 token-to-image attention against PER-IMAGE keys.
+
+    keys_img: (B, T, C); qp: (N, tq, dh2) ALREADY-SCALED query projections
+    with N = B * k_share. The k/v projections of the image tokens run once
+    per image inside the kernel, and each prompt's (H*tq, T) softmax stays
+    in VMEM (XLA's path round-trips the fp32 logits through HBM). Returns
+    the attention output (N, tq, dh2), head-major.
+    """
+    b, t, c = keys_img.shape
+    n, tq, dh2 = qp.shape
+    hd2 = dh2 // heads
+    interpret = interpret or jax.default_backend() == "cpu"
+    eye = jnp.eye(heads, dtype=qp.dtype)
+    qph = qp.reshape(n, tq, heads, hd2).transpose(0, 2, 1, 3)
+    qbd = jnp.einsum("hg,ngtd->nhtgd", eye, qph).reshape(n, heads * tq, dh2)
+    raw = pl.pallas_call(
+        functools.partial(_t2i_shared_kernel, kpi=k_share),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((t, c), lambda i: (0, 0)),
+            pl.BlockSpec((k_share, heads * tq, dh2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c, dh2), lambda i: (0, 0)),
+            pl.BlockSpec((1, dh2), lambda i: (0, 0)),
+            pl.BlockSpec((c, dh2), lambda i: (0, 0)),
+            pl.BlockSpec((1, dh2), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((k_share, heads * tq, dh2), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, heads * tq, dh2), keys_img.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        keys_img,
+        img_pe.reshape(t, c),
+        qbd.astype(keys_img.dtype),
+        wk.astype(keys_img.dtype),
+        bk.reshape(1, dh2).astype(jnp.float32),
+        wv.astype(keys_img.dtype),
+        bv.reshape(1, dh2).astype(jnp.float32),
+    )
+    return jnp.concatenate(
+        [
+            raw[:, h * tq : (h + 1) * tq, h * hd2 : (h + 1) * hd2]
+            for h in range(heads)
+        ],
+        axis=-1,
+    )
 
 
 @functools.partial(
@@ -192,11 +312,22 @@ def i2t_keys_update(
         _i2t_update_kernel, heads=heads, tq=tq, scale=scale, eps=eps,
         with_t2i=t2i is not None, out_grid=out_grid,
     )
+    # prompt pairs per grid step (halves the step count; legal whenever the
+    # pair shares a keys-source block: always for per-prompt keys, and for
+    # k_share >= pb sharing since pb divides k_share)
+    pb = 2 if n % 2 == 0 and (k_share == 1 or k_share % 2 == 0) else 1
+    shared_src = k_share > 1
+    if shared_src:
+        keys_spec = pl.BlockSpec(
+            (1, t, c), lambda i: ((i * pb) // k_share, 0, 0)
+        )
+    else:
+        keys_spec = pl.BlockSpec((pb, t, c), lambda i: (i, 0, 0))
     in_specs = [
-        pl.BlockSpec((1, t, c), lambda i: (i // k_share, 0, 0)),
+        keys_spec,
         pl.BlockSpec((t, c), lambda i: (0, 0)),
-        pl.BlockSpec((1, dh, heads * tq), lambda i: (i, 0, 0)),
-        pl.BlockSpec((1, heads * tq, dh), lambda i: (i, 0, 0)),
+        pl.BlockSpec((pb, dh, heads * tq), lambda i: (i, 0, 0)),
+        pl.BlockSpec((pb, heads * tq, dh), lambda i: (i, 0, 0)),
         pl.BlockSpec((heads * tq, heads), lambda i: (0, 0)),
         pl.BlockSpec((c, dh), lambda i: (0, 0)),
         pl.BlockSpec((1, dh), lambda i: (0, 0)),
@@ -221,13 +352,13 @@ def i2t_keys_update(
     if out_grid:
         assert out_grid * out_grid == t
         out_specs = pl.BlockSpec(
-            (1, out_grid, out_grid, c), lambda i: (i, 0, 0, 0)
+            (pb, out_grid, out_grid, c), lambda i: (i, 0, 0, 0)
         )
         out_shape = jax.ShapeDtypeStruct(
             (n, out_grid, out_grid, c), keys_src.dtype
         )
     else:
-        out_specs = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0))
+        out_specs = pl.BlockSpec((pb, t, c), lambda i: (i, 0, 0))
         out_shape = jax.ShapeDtypeStruct((n, t, c), keys_src.dtype)
     if t2i is not None:
         qp2 = t2i["qp"]
@@ -238,7 +369,7 @@ def i2t_keys_update(
             n, heads * tq2, dh2
         )
         in_specs += [
-            pl.BlockSpec((1, heads * tq2, dh2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((pb, heads * tq2, dh2), lambda i: (i, 0, 0)),
             pl.BlockSpec((c, dh2), lambda i: (0, 0)),
             pl.BlockSpec((1, dh2), lambda i: (0, 0)),
             pl.BlockSpec((c, dh2), lambda i: (0, 0)),
@@ -253,15 +384,16 @@ def i2t_keys_update(
         ]
         out_specs = [
             out_specs,
-            pl.BlockSpec((1, heads * tq2, dh2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((pb, heads * tq2, dh2), lambda i: (i, 0, 0)),
         ]
         out_shape = [
             out_shape,
             jax.ShapeDtypeStruct((n, heads * tq2, dh2), keys_src.dtype),
         ]
+    kernel = functools.partial(kernel, pb=pb, shared_src=shared_src)
     result = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n // pb,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

@@ -198,6 +198,26 @@ def _hull_candidate_scores(
     return pts, scores, any_mask
 
 
+def _hull_vertices(
+    masks: jnp.ndarray, num_directions: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(K, h, w) -> (support vertices (K, D, 2) CCW, any_mask (K,)).
+
+    On TPU the score/max/tie-break pipeline runs as ONE Pallas pass
+    (ops/hull_support.py), so the (K, N, D) scores tensor never reaches
+    HBM (three round-trips of ~0.8 GB at bench shape as XLA ops); elsewhere
+    the einsum + select path below produces identical results.
+    """
+    pts, scores, any_mask = _hull_candidate_scores(masks, num_directions)
+    if jax.default_backend() != "cpu":
+        from .hull_support import support_vertices_tpu
+
+        dirs = jnp.asarray(_hull_directions(num_directions))
+        sup = support_vertices_tpu(pts.transpose(0, 2, 1), dirs)  # (K, 2, D)
+        return sup.transpose(0, 2, 1), any_mask
+    return _select_support_points(pts, scores), any_mask
+
+
 def _select_support_points(pts: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray:
     """Per-direction support points WITHOUT a gather.
 
@@ -227,8 +247,7 @@ def convex_hull_measures(
     convex hull of the boundary edge-midpoints (find_contours vertex
     convention, reference ``utils/metrics.py:31-40``). Zero for empty masks.
     """
-    pts, scores, any_mask = _hull_candidate_scores(masks, num_directions)
-    verts = _select_support_points(pts, scores)
+    verts, any_mask = _hull_vertices(masks, num_directions)
 
     nxt = jnp.roll(verts, shift=-1, axis=1)
     cross = verts[..., 0] * nxt[..., 1] - nxt[..., 0] * verts[..., 1]
@@ -263,8 +282,7 @@ def rasterized_hull_measures(
     """
     m = masks.astype(jnp.float32)
     k, h, w = m.shape
-    pts, scores, any_mask = _hull_candidate_scores(masks, num_directions)
-    verts = _select_support_points(pts, scores)  # (K, D, 2) CCW
+    verts, any_mask = _hull_vertices(masks, num_directions)  # (K, D, 2) CCW
 
     # The vertex polygon is the intersection of its D edge half-planes
     # n.(p - v_i) <= 0 with n the outward edge normal. In angular vertex
@@ -332,6 +350,65 @@ def _brightness_disk(
     n = jnp.maximum(sel.sum(), 1.0)
     mean = (window * sel).sum() / n
     var = (((window - mean) * sel) ** 2).sum() / n
+    return mean, jnp.sqrt(var)
+
+
+def _brightness_disk_batched(
+    gray: jnp.ndarray, cr: jnp.ndarray, cc: jnp.ndarray, radius: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All-cells brightness disk stats, gather-free.
+
+    Semantics identical to vmapping :func:`_brightness_disk`, but batched
+    ``dynamic_slice`` windows lower to a ONE-CELL-PER-ITERATION while loop
+    on TPU (measured 7.5 ms/iter at bench shape). Instead each cell's
+    window is extracted at coarse 64-block granularity with one-hot block
+    matmuls (dense MXU work), and the exact in-disk / in-image conditions
+    are evaluated against the true float centroid inside the (larger)
+    coarse window — bit-identical statistics.
+    """
+    h, w = gray.shape
+    k = cr.shape[0]
+    win = 2 * radius + 3
+    pad = radius + 1
+    cb = 64
+    nb = (win + cb - 1 + cb - 1) // cb  # blocks covering any win window
+    hp = -(-(h + 2 * pad) // cb) * cb
+    wp = -(-(w + 2 * pad) // cb) * cb
+    gpad = jnp.pad(gray, ((pad, hp - h - pad), (pad, wp - w - pad)))
+    g5 = gpad.reshape(hp // cb, cb, wp // cb, cb)
+
+    r0 = jnp.clip(
+        jnp.floor(cr).astype(jnp.int32) - radius - 1, -pad, h + pad - win
+    )
+    c0 = jnp.clip(
+        jnp.floor(cc).astype(jnp.int32) - radius - 1, -pad, w + pad - win
+    )
+    rb = (r0 + pad) // cb  # coarse origin block per cell
+    cb0 = (c0 + pad) // cb
+    a_idx = jnp.arange(nb)[None, :, None]
+    sel_r = (
+        jnp.arange(hp // cb)[None, None, :] == rb[:, None, None] + a_idx
+    ).astype(jnp.float32)  # (K, nb, hblocks)
+    sel_c = (
+        jnp.arange(wp // cb)[None, None, :] == cb0[:, None, None] + a_idx
+    ).astype(jnp.float32)
+    wins = jnp.einsum(
+        "kau,uxvy,kbv->kaxby", sel_r, g5, sel_c,
+        preferred_element_type=jnp.float32,
+    ).reshape(k, nb * cb, nb * cb)
+
+    orow = (rb * cb - pad).astype(jnp.float32)[:, None, None]
+    ocol = (cb0 * cb - pad).astype(jnp.float32)[:, None, None]
+    wr = jax.lax.broadcasted_iota(jnp.float32, (nb * cb, nb * cb), 0)[None] + orow
+    wc = jax.lax.broadcasted_iota(jnp.float32, (nb * cb, nb * cb), 1)[None] + ocol
+    in_disk = (wr - cr[:, None, None]) ** 2 + (wc - cc[:, None, None]) ** 2 <= float(
+        radius
+    ) ** 2
+    in_img = (wr >= 0) & (wr < h) & (wc >= 0) & (wc < w)
+    sel = (in_disk & in_img).astype(jnp.float32)
+    n = jnp.maximum(sel.sum(axis=(1, 2)), 1.0)
+    mean = (wins * sel).sum(axis=(1, 2)) / n
+    var = (((wins - mean[:, None, None]) * sel) ** 2).sum(axis=(1, 2)) / n
     return mean, jnp.sqrt(var)
 
 
@@ -412,9 +489,12 @@ def batched_cell_metrics(
     deformability = 1.0 - circularity
 
     radius = int(0.1 * min(image_shape))
-    mean_b, std_b = jax.vmap(lambda r, c: _brightness_disk(gray_image, r, c, radius))(
-        cr, cc
-    )
+    if jax.default_backend() != "cpu":
+        mean_b, std_b = _brightness_disk_batched(gray_image, cr, cc, radius)
+    else:
+        mean_b, std_b = jax.vmap(
+            lambda r, c: _brightness_disk(gray_image, r, c, radius)
+        )(cr, cc)
     mean_b = jnp.where(nonempty, mean_b, 0.0)
     std_b = jnp.where(nonempty, std_b, 0.0)
 

@@ -53,22 +53,23 @@ def _nms_single(
     # we iterate the full-vector update to convergence — after t sweeps at
     # least the first t+1 decisions are final, and real detection sets
     # converge in 2-4 sweeps (suppression chains are shallow).
+    # Sequential greedy scan (exact). With random/degraded detectors the
+    # candidate set is dense and suppression chains run deep, so fixpoint
+    # sweeps don't converge quickly — the plain K-step scan with heavy
+    # unrolling (launch overhead amortized 32x) is the robust choice.
     conf_ok = top_scores >= conf_threshold
-    ii = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    m = (ii < jj) & (iou > iou_threshold)  # m[j, i]: j precedes and suppresses i
+    suppress = iou > iou_threshold
 
-    def cond(state):
-        _, changed = state
-        return changed
+    def body(i, kept):
+        # kept: (K,) bool of decisions so far (only entries < i are final)
+        earlier = jax.lax.broadcasted_iota(jnp.int32, (k,), 0) < i
+        blocked = jnp.any(earlier & kept & suppress[i], axis=0)
+        keep_i = jnp.logical_and(conf_ok[i], ~blocked)
+        return kept.at[i].set(keep_i)
 
-    def step(state):
-        kept, _ = state
-        blocked = jnp.any(kept[:, None] & m, axis=0)
-        new = conf_ok & ~blocked
-        return new, jnp.any(new != kept)
-
-    kept, _ = jax.lax.while_loop(cond, step, (conf_ok, jnp.asarray(True)))
+    kept = jax.lax.fori_loop(
+        0, k, body, jnp.zeros((k,), dtype=bool), unroll=32
+    )
 
     # compact kept detections to the front, pad to max_det
     order = jnp.argsort(~kept, stable=True)  # kept first, score order preserved

@@ -165,13 +165,21 @@ def detect_stage(
 ):
     """uint8 (B, H, W[, 3]) -> boxes xyxy in original pixels, scores, valid."""
     images_u8 = _ensure_rgb(images_u8)
-    ysize = opts.yolo_size_for(images_u8.shape[1], images_u8.shape[2])
-    lb, scale, (pad_x, pad_y) = letterbox_batch(images_u8, ysize)
-    # params arrive pre-cast to compute_dtype (once, outside jit);
-    # decode/NMS stay fp32
-    outs = yolo_forward(
-        yolo_params, lb.astype(opts.compute_dtype), ycfg, s2d_params=yolo_s2d
-    )
+    h0, w0 = images_u8.shape[1], images_u8.shape[2]
+    ysize = opts.yolo_size_for(h0, w0)
+    if yolo_s2d is not None and h0 == w0 == ysize:
+        # identity letterbox: skip the bf16 canvas entirely — the s2d prefix
+        # transposes the raw uint8 batch (1/4 the bytes) and fuses /255 into
+        # the stem conv
+        scale, pad_x, pad_y = 1.0, 0.0, 0.0
+        outs = yolo_forward(yolo_params, images_u8, ycfg, s2d_params=yolo_s2d)
+    else:
+        lb, scale, (pad_x, pad_y) = letterbox_batch(images_u8, ysize)
+        # params arrive pre-cast to compute_dtype (once, outside jit);
+        # decode/NMS stay fp32
+        outs = yolo_forward(
+            yolo_params, lb.astype(opts.compute_dtype), ycfg, s2d_params=yolo_s2d
+        )
     boxes, scores = decode_predictions(outs, ycfg)
     scores = scores.max(axis=-1)  # single-class cell detector
     boxes, scores, valid = batched_nms(
