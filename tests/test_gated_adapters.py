@@ -242,3 +242,33 @@ def test_minio_fetcher_decodes_bucket_object_paths(minio_store):
     # %20 exercises the adapter's unquote of URL-encoded object paths
     out = fetch("erb-g07/frames/f%201.png")
     np.testing.assert_array_equal(out, img)
+
+
+def test_frame_cleaner_mlflow_model_sources(mlflow_state, tmp_path):
+    """The frame cleaner resolves YOLO weights from the Model Registry or an
+    MLflow run, like reference tools/yolo_frame_cleaner.py:486-511."""
+    import argparse
+
+    from yolo_sam_inference_tpu.apps.yolo_frame_cleaner import (
+        resolve_model_source,
+    )
+
+    ckpt = tmp_path / "best.pt"
+    ckpt.write_bytes(b"w")
+    mlflow_state.registered["frame-yolo"] = {"3": str(ckpt)}
+    mlflow_state.run_artifacts["runX"] = {"weights/best.pt": str(ckpt)}
+
+    def ns(**kw):
+        base = dict(model_name=None, model_version=None, registry_uri=None,
+                    s3_endpoint_url=None, aws_access_key_id=None,
+                    aws_secret_access_key=None, experiment_id=None,
+                    run_id=None, yolo_model=None)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    assert resolve_model_source(ns(model_name="frame-yolo")) == str(ckpt)
+    assert resolve_model_source(
+        ns(experiment_id="1", run_id="runX")) == str(ckpt)
+    assert resolve_model_source(ns(yolo_model="/x.pt")) == "/x.pt"
+    with pytest.raises(ValueError, match="experiment-id"):
+        resolve_model_source(ns(run_id="runX"))

@@ -403,3 +403,39 @@ def test_brightness_disk_batched_matches_slice_path(rng):
         wm, ws = _brightness_disk(gray, cr[i], cc[i], radius)
         np.testing.assert_allclose(float(got_m[i]), float(wm), rtol=1e-5)
         np.testing.assert_allclose(float(got_s[i]), float(ws), rtol=1e-5, atol=1e-5)
+
+
+def test_hull_large_coordinates_exact():
+    """Regression: support-point tie-break must stay exact at 2048-px canvas
+    coordinates (a packed (2r+2)*4096+(2c+2) fp32 key used previously
+    overflowed the row field once a column coordinate reached 2047.5)."""
+    import jax.numpy as jnp
+
+    from yolo_sam_inference_tpu.ops.hull_support import support_vertices_tpu
+    from yolo_sam_inference_tpu.ops.metrics import (
+        _hull_candidate_scores,
+        _hull_directions,
+        _select_support_points,
+    )
+
+    h, w = 64, 2048
+    mask = np.zeros((h, w), bool)
+    mask[20:50, 2015:2048] = True  # touches the last column: c_max = 2047.5
+    mask[30:40, 1990:2048] = True
+    a, p = convex_hull_measures(jnp.asarray(mask[None]))
+    want_a, want_p = oracle_hull(mask)
+    assert float(a[0]) == pytest.approx(want_a, rel=2e-3)
+    assert float(p[0]) == pytest.approx(want_p, rel=2e-3)
+
+    d = 128
+    pts, scores, _ = _hull_candidate_scores(jnp.asarray(mask[None]), d)
+    want = np.asarray(_select_support_points(pts, scores))
+    dirs = jnp.asarray(_hull_directions(d))
+    sup = support_vertices_tpu(pts.transpose(0, 2, 1), dirs, interpret=True)
+    got = np.asarray(sup).transpose(0, 2, 1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # every selected vertex must be an actual candidate point (no corrupted
+    # decode): nearest-candidate distance == 0
+    cand = np.asarray(pts[0])
+    for v in got[0]:
+        assert np.min(np.abs(cand - v).sum(axis=1)) < 1e-5

@@ -7,7 +7,10 @@ inside the ROI and whose box is fully contained with a 2px margin
 valid non-boundary detection (``:342``); outputs ``full_frames_with_target/``
 and ``cropped_roi_with_target/`` (``:171-183``) plus one ``*_background*``
 frame chosen from the no-target pool (``:369-383``); optional recursive walk
-(``:385-408``). Batched device inference replaces the per-frame loop.
+(``:385-408``); per-frame color-coded detection debug visualizations
+(``:306-339``); YOLO weights from a local path, the MLflow Model Registry,
+or an MLflow run artifact (``:486-511``). Batched device inference replaces
+the per-frame loop.
 """
 
 from __future__ import annotations
@@ -65,6 +68,56 @@ def classify_frame(
     return "rejected", None
 
 
+def _draw_rect(img: np.ndarray, box, color, thickness: int = 2) -> None:
+    """In-place rectangle outline (pure numpy; no cv2 dependency)."""
+    h, w = img.shape[:2]
+    x1, y1, x2, y2 = (int(round(float(v))) for v in box)
+    x1, x2 = max(0, min(x1, w - 1)), max(0, min(x2, w - 1))
+    y1, y2 = max(0, min(y1, h - 1)), max(0, min(y2, h - 1))
+    t = thickness
+    img[y1:y1 + t, x1:x2 + 1] = color
+    img[max(0, y2 - t + 1):y2 + 1, x1:x2 + 1] = color
+    img[y1:y2 + 1, x1:x1 + t] = color
+    img[y1:y2 + 1, max(0, x2 - t + 1):x2 + 1] = color
+
+
+def save_debug_visualization(
+    image: np.ndarray, boxes: np.ndarray, scores: np.ndarray,
+    valid: np.ndarray, roi: Dict[str, int], conf: float, out_path: Path,
+) -> None:
+    """Color-coded per-frame detection debug image (reference ``:306-339``):
+    blue ROI rectangle; green = confident in-ROI fully-contained detection,
+    yellow = in-ROI but touching the ROI boundary, red = everything else;
+    confidence labels when cv2 is available."""
+    from ..io.images import save_image
+
+    vis = np.ascontiguousarray(image.copy())
+    _draw_rect(vis, (roi["x_min"], roi["y_min"], roi["x_max"], roi["y_max"]),
+               (0, 0, 255))
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
+    for i in range(len(boxes)):
+        if not valid[i]:
+            continue
+        box = boxes[i]
+        ok_conf = scores[i] >= conf
+        in_roi = ok_conf and center_in_roi(box, roi)
+        if in_roi and is_box_fully_contained(box, roi):
+            color = (0, 255, 0)
+        elif in_roi:
+            color = (255, 255, 0)
+        else:
+            color = (255, 0, 0)
+        _draw_rect(vis, box, color)
+        if cv2 is not None:
+            cv2.putText(vis, f"{float(scores[i]):.2f}",
+                        (int(box[0]), max(0, int(box[1]) - 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 2)
+    save_image(out_path, vis)
+
+
 def clean_frames(
     input_dir: Path,
     output_dir: Path,
@@ -73,6 +126,7 @@ def clean_frames(
     conf: float = 0.5,
     recursive: bool = False,
     batch_size: int = 16,
+    debug_visualizations: bool = True,
 ) -> Dict[str, int]:
     """Curate a directory of acquisition frames. Returns category counts."""
     from ..io.images import list_image_files, load_image, save_image
@@ -83,6 +137,9 @@ def clean_frames(
     crop_dir = output_dir / "cropped_roi_with_target"
     full_dir.mkdir(parents=True, exist_ok=True)
     crop_dir.mkdir(parents=True, exist_ok=True)
+    if debug_visualizations:  # every frame, like the reference's debug_dir
+        debug_dir = output_dir / "debug_visualizations"
+        debug_dir.mkdir(parents=True, exist_ok=True)
 
     files = list_image_files(input_dir, recursive=recursive)
     counts = {"target": 0, "background": 0, "rejected": 0}
@@ -96,6 +153,12 @@ def clean_frames(
             kind, box = classify_frame(
                 out["boxes"][i], out["scores"][i], out["valid"][i], frame_roi, conf
             )
+            if debug_visualizations:
+                save_debug_visualization(
+                    batch[i], out["boxes"][i], out["scores"][i],
+                    out["valid"][i], frame_roi, conf,
+                    debug_dir / f"debug_{paths[i].stem}_detections.png",
+                )
             counts[kind] += 1
             if kind == "target":
                 img = batch[i]
@@ -116,6 +179,36 @@ def clean_frames(
     return counts
 
 
+def resolve_model_source(args) -> Optional[str]:
+    """YOLO weights source, in the reference's priority order
+    (``tools/yolo_frame_cleaner.py:486-511``): Model Registry by name
+    (latest version unless pinned), else an MLflow run's
+    ``weights/best.pt`` artifact, else the local ``--yolo-model`` path."""
+    if args.model_name:
+        from ..utils.model_loader import load_model_from_registry
+
+        logger.info("Loading model from MLflow Registry: %s (version: %s)",
+                    args.model_name, args.model_version or "latest")
+        return load_model_from_registry(
+            model_name=args.model_name,
+            model_version=args.model_version,
+            tracking_uri=args.registry_uri,
+            s3_endpoint_url=args.s3_endpoint_url,
+            aws_access_key_id=args.aws_access_key_id,
+            aws_secret_access_key=args.aws_secret_access_key,
+        )
+    if args.run_id or args.experiment_id:
+        if not (args.run_id and args.experiment_id):
+            raise ValueError("both --experiment-id and --run-id must be "
+                             "provided when loading from an MLflow run")
+        from ..utils.model_loader import load_model_from_mlflow
+
+        logger.info("Loading model from MLflow run: experiment %s, run %s",
+                    args.experiment_id, args.run_id)
+        return load_model_from_mlflow(args.experiment_id, args.run_id)
+    return args.yolo_model
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Curate acquisition frames with YOLO")
     p.add_argument("--input-dir", type=Path, required=True)
@@ -126,9 +219,29 @@ def main(argv=None) -> int:
                    help="x_min,y_min,x_max,y_max (pixel box; full frame if omitted)")
     p.add_argument("--recursive", action="store_true")
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--no-debug-visualizations", action="store_true",
+                   help="skip the per-frame color-coded detection debug images")
+    # MLflow model sources (reference tools/yolo_frame_cleaner.py:486-511:
+    # registry by name/version, or a run's weights/best.pt artifact)
+    p.add_argument("--model-name", type=str, default=None,
+                   help="MLflow Model Registry name (latest version if "
+                        "--model-version omitted)")
+    p.add_argument("--model-version", type=str, default=None)
+    p.add_argument("--registry-uri", type=str, default=None)
+    p.add_argument("--s3-endpoint-url", type=str, default=None)
+    p.add_argument("--aws-access-key-id", type=str, default=None)
+    p.add_argument("--aws-secret-access-key", type=str, default=None)
+    p.add_argument("--experiment-id", type=str, default=None)
+    p.add_argument("--run-id", type=str, default=None)
     args = p.parse_args(argv)
     if not args.input_dir.is_dir():
         print(f"error: --input-dir does not exist: {args.input_dir}")
+        return 2
+
+    try:
+        yolo_model = resolve_model_source(args)
+    except ValueError as e:
+        print(f"error: {e}")
         return 2
 
     roi = None
@@ -139,12 +252,13 @@ def main(argv=None) -> int:
     from ..pipeline.engine import CellSegmentationPipeline, PipelineOptions
 
     pipeline = CellSegmentationPipeline(
-        yolo_model_path=args.yolo_model,
+        yolo_model_path=yolo_model,
         options=PipelineOptions(batch_size=args.batch_size),
     )
     clean_frames(
         args.input_dir, args.output_dir, pipeline, roi,
         conf=args.conf, recursive=args.recursive, batch_size=args.batch_size,
+        debug_visualizations=not args.no_debug_visualizations,
     )
     return 0
 

@@ -16,9 +16,10 @@ Architecture (TinyViT-5M @ 1024, MobileSAM variant):
 
 BatchNorm folds into convs at conversion; the engine swaps this in via
 ``sam_model_type="mobile-sam"``. Weight conversion from official MobileSAM
-checkpoints maps the ``image_encoder.*`` torch names onto this tree
-(best-effort: no MobileSAM checkpoint is available in this environment to
-round-trip; the architecture itself is shape- and jit-tested).
+checkpoints (``convert.convert_mobilesam_state_dict``) maps the
+``image_encoder.*`` torch names onto this tree; encoder parity vs a
+torch TinyViT with the official state-dict layout is enforced by
+tests/test_tinyvit_parity.py.
 """
 
 from __future__ import annotations
@@ -50,6 +51,12 @@ class TinyViTConfig:
         return self.image_size // 16
 
 
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # torch nn.GELU default = exact erf formulation (tiny_vit_sam.py uses
+    # nn.GELU; jax.nn.gelu defaults to the tanh approximation)
+    return jax.nn.gelu(x, approximate=False)
+
+
 def _conv_bn(p: Params, x: jnp.ndarray, stride: int = 1, groups: int = 1) -> jnp.ndarray:
     """Conv with pre-folded BN (HWIO weights, 'same' padding)."""
     kh = p["w"].shape[0]
@@ -66,15 +73,15 @@ def _conv_bn(p: Params, x: jnp.ndarray, stride: int = 1, groups: int = 1) -> jnp
 
 
 def _mbconv(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    h = jax.nn.gelu(_conv_bn(p["conv1"], x))
-    h = jax.nn.gelu(_conv_bn(p["conv2"], h, groups=h.shape[-1]))
+    h = _gelu(_conv_bn(p["conv1"], x))
+    h = _gelu(_conv_bn(p["conv2"], h, groups=h.shape[-1]))
     h = _conv_bn(p["conv3"], h)
-    return jax.nn.gelu(x + h)
+    return _gelu(x + h)
 
 
 def _patch_merge(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
-    h = jax.nn.gelu(_conv_bn(p["conv1"], x))
-    h = jax.nn.gelu(_conv_bn(p["conv2"], h, stride=stride, groups=h.shape[-1]))
+    h = _gelu(_conv_bn(p["conv1"], x))
+    h = _gelu(_conv_bn(p["conv2"], h, stride=stride, groups=h.shape[-1]))
     return _conv_bn(p["conv3"], h)
 
 
@@ -132,9 +139,11 @@ def _offset_index(ws: int) -> np.ndarray:
 def _tinyvit_block(p: Params, x: jnp.ndarray, heads: int, ws: int, cfg) -> jnp.ndarray:
     h = _layer_norm(p["ln1"], x)
     x = x + _window_attention(p["attn"], h, heads, ws)
-    x = x + _conv_bn(p["local_conv"], x, groups=x.shape[-1])
+    # NOTE: the reference TinyViT applies local_conv WITHOUT a residual
+    # (tiny_vit_sam.py TinyViTBlock.forward: x = self.local_conv(x))
+    x = _conv_bn(p["local_conv"], x, groups=x.shape[-1])
     h = _layer_norm(p["ln2"], x)
-    h = jax.nn.gelu(h @ p["mlp1_w"] + p["mlp1_b"])
+    h = _gelu(h @ p["mlp1_w"] + p["mlp1_b"])
     h = h @ p["mlp2_w"] + p["mlp2_b"]
     return x + h
 
@@ -142,8 +151,10 @@ def _tinyvit_block(p: Params, x: jnp.ndarray, heads: int, ws: int, cfg) -> jnp.n
 def tinyvit_encoder(params: Params, pixel_values: jnp.ndarray, cfg: TinyViTConfig) -> jnp.ndarray:
     """(B, S, S, 3) normalized -> (B, S/16, S/16, output_channels)."""
     p = params
-    x = jax.nn.gelu(_conv_bn(p["stem1"], pixel_values, stride=2))
-    x = jax.nn.gelu(_conv_bn(p["stem2"], x, stride=2))  # /4
+    # patch embed: Conv2d_BN + GELU + Conv2d_BN (no activation after the
+    # second conv — tiny_vit_sam.py PatchEmbed.seq)
+    x = _gelu(_conv_bn(p["stem1"], pixel_values, stride=2))
+    x = _conv_bn(p["stem2"], x, stride=2)  # /4
 
     # stage 0: MBConv
     for bp in p["stage0"]:

@@ -8,9 +8,13 @@ cell, so this kernel computes scores (a (2 x N) x (2 x D) contraction),
 the per-direction max, and the tie-break select entirely in VMEM.
 
 Candidate points arrive TRANSPOSED ((K, 2, N): r-row, c-row) so the lane
-dimension is N, and the tie-break key is built with a (N, 1) matmul against
-[[2*4096], [2]] (a (1, N) -> (N, 1) relayout is not a supported mosaic
-shape cast). Output is (K, 2, D) (r-plane, c-plane).
+dimension is N; per-direction tie-break among score-tied candidates is
+lexicographic max-(r, c), with the (N, 2) coordinate columns materialized
+via an identity matmul (a (1, N) -> (N, 1) relayout is not a supported
+mosaic shape cast). Coordinates are half-integer, exact in fp32 at any
+practical image size (an earlier packed ``(2r+2)*4096+(2c+2)`` key
+corrupted decodes once a column coordinate reached 2047.5). Output is
+(K, 2, D) (r-plane, c-plane).
 """
 
 from __future__ import annotations
@@ -31,20 +35,20 @@ def _support_kernel(pts_ref, dirs_ref, kw_ref, o_ref, *, kb: int):
             preferred_element_type=jnp.float32,
         )  # (N, D)
         mx = jnp.max(s, axis=0, keepdims=True)  # (1, D)
-        # exact fp32 tie-break key (2r+2)*4096 + (2c+2), built as a matmul so
-        # it lands directly in (N, 1) orientation
-        key = (
-            jax.lax.dot_general(
-                p, kw_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + 2.0 * 4096.0 + 2.0
-        )  # (N, 1)
-        vk = jnp.max(jnp.where(s >= mx, key, -1.0), axis=0, keepdims=True)  # (1, D)
-        a = jnp.floor(vk / 4096.0)
-        r = (a - 2.0) * 0.5
-        c = (vk - a * 4096.0 - 2.0) * 0.5
-        o_ref[i] = jnp.concatenate([r, c], axis=0)  # (2, D)
+        elig = s >= mx  # (N, D)
+        # (N, 2) coordinate columns via identity matmul (lands in the right
+        # orientation without an unsupported (1, N)->(N, 1) relayout)
+        rc = jax.lax.dot_general(
+            p, kw_ref[...], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, 2): [r, c]
+        rk, ck = rc[:, 0:1], rc[:, 1:2]  # (N, 1)
+        vr = jnp.max(jnp.where(elig, rk, -1e9), axis=0, keepdims=True)  # (1, D)
+        vc = jnp.max(
+            jnp.where(jnp.logical_and(elig, rk >= vr), ck, -1e9),
+            axis=0, keepdims=True,
+        )
+        o_ref[i] = jnp.concatenate([vr, vc], axis=0)  # (2, D)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -61,14 +65,14 @@ def support_vertices_tpu(
         pts_t = jnp.concatenate(
             [pts_t, jnp.zeros((pad, 2, n), pts_t.dtype)], axis=0
         )
-    kw = jnp.asarray([[2.0 * 4096.0], [2.0]], jnp.float32)  # (2, 1)
+    kw = jnp.eye(2, dtype=jnp.float32)  # (2, 2) identity: rc = p.T
     out = pl.pallas_call(
         functools.partial(_support_kernel, kb=kb),
         grid=((k + pad) // kb,),
         in_specs=[
             pl.BlockSpec((kb, 2, n), lambda i: (i, 0, 0)),
             pl.BlockSpec((2, d), lambda i: (0, 0)),
-            pl.BlockSpec((2, 1), lambda i: (0, 0)),
+            pl.BlockSpec((2, 2), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((kb, 2, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((k + pad, 2, d), jnp.float32),

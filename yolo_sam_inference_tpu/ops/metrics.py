@@ -223,19 +223,23 @@ def _select_support_points(pts: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray
 
     ``take_along_axis(pts, argmax(scores))`` measured 1.5 ms/iter at bench
     shape (element gathers are pathological on TPU). Instead the tied-max
-    candidates are reduced with an exact integer key ``(2r+2)*4096 + (2c+2)``
-    (coordinates are half-integer, |coord| < 512, so the key is exact in
-    fp32 below 2^23): select-where-max + max-reduce + decode, all fusable
-    elementwise/reduce ops. Tie-break picks the tied point with max (r, c) —
-    a true extreme of the supporting segment, so hull geometry is unchanged.
+    candidates are reduced lexicographically: among score-tied candidates
+    take max r, then among r-tied take max c — select-where-max +
+    max-reduce twice, all fusable elementwise/reduce ops. Coordinates are
+    half-integer and exact in fp32 at any practical image size (a packed
+    ``(2r+2)*4096+(2c+2)`` key used previously overflowed the row field
+    once a column coordinate reached 2047.5). Tie-break picks the tied
+    point with max (r, c) — a true extreme of the supporting segment, so
+    hull geometry is unchanged.
     """
     mx = scores.max(axis=1, keepdims=True)  # (K, 1, D)
-    key = (2.0 * pts[..., 0] + 2.0) * 4096.0 + (2.0 * pts[..., 1] + 2.0)  # (K, N)
-    vk = jnp.where(scores >= mx, key[:, :, None], -1.0).max(axis=1)  # (K, D)
-    a = jnp.floor(vk / 4096.0)
-    r = (a - 2.0) * 0.5
-    c = (vk - a * 4096.0 - 2.0) * 0.5
-    return jnp.stack([r, c], axis=-1)  # (K, D, 2)
+    elig = scores >= mx  # (K, N, D)
+    r = pts[..., 0][:, :, None]  # (K, N, 1)
+    c = pts[..., 1][:, :, None]
+    vr = jnp.where(elig, r, -1e9).max(axis=1)  # (K, D)
+    elig2 = jnp.logical_and(elig, r >= vr[:, None, :])
+    vc = jnp.where(elig2, c, -1e9).max(axis=1)
+    return jnp.stack([vr, vc], axis=-1)  # (K, D, 2)
 
 
 def convex_hull_measures(

@@ -47,16 +47,11 @@ def _nms_single(
     iou = _iou_matrix(top_boxes)
 
     # Greedy: in score order, keep box i iff no higher-scoring *kept* box
-    # overlaps it above the threshold. The greedy assignment is the UNIQUE
-    # fixpoint of  kept[i] = conf_ok[i] & ~any(j < i: kept[j] & sup[j, i])
-    # (induction over score order), so instead of a K-step sequential scan
-    # we iterate the full-vector update to convergence — after t sweeps at
-    # least the first t+1 decisions are final, and real detection sets
-    # converge in 2-4 sweeps (suppression chains are shallow).
-    # Sequential greedy scan (exact). With random/degraded detectors the
-    # candidate set is dense and suppression chains run deep, so fixpoint
-    # sweeps don't converge quickly — the plain K-step scan with heavy
-    # unrolling (launch overhead amortized 32x) is the robust choice.
+    # overlaps it above the threshold. Sequential greedy scan (exact). With
+    # random/degraded detectors the candidate set is dense and suppression
+    # chains run deep, so fixpoint sweeps don't converge quickly — the plain
+    # K-step scan with heavy unrolling (launch overhead amortized 32x) is
+    # the robust choice.
     conf_ok = top_scores >= conf_threshold
     suppress = iou > iou_threshold
 
