@@ -278,10 +278,20 @@ def _randomize(model: nn.Module, seed: int) -> None:
                 m.running_var.copy_(torch.rand(m.running_var.shape,
                                                generator=g) + 0.5)
         for name, p in model.named_parameters():
-            if "bn" not in name:
-                fan = p.shape[-1] if p.dim() > 1 else p.numel()
-                p.copy_(torch.randn(p.shape, generator=g) /
-                        math.sqrt(max(fan, 1)))
+            if "bn" in name:
+                continue
+            if "norm" in name and p.dim() == 1:
+                # O(1) LayerNorm affines, like real checkpoints: pad tokens
+                # enter attention as LN(0) = ln_bias, so weak LN biases
+                # would mask a pad-before-vs-after-norm semantics mismatch
+                if name.endswith("weight"):
+                    p.copy_(torch.rand(p.shape, generator=g) + 0.5)
+                else:
+                    p.copy_(torch.randn(p.shape, generator=g))
+                continue
+            fan = p.shape[-1] if p.dim() > 1 else p.numel()
+            p.copy_(torch.randn(p.shape, generator=g) /
+                    math.sqrt(max(fan, 1)))
 
 
 @pytest.fixture(scope="module")

@@ -92,8 +92,15 @@ def _layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return ((xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]).astype(x.dtype)
 
 
-def _window_attention(p: Params, x: jnp.ndarray, heads: int, ws: int) -> jnp.ndarray:
-    """Windowed attention with learned per-offset bias. x: (B, H, W, C)."""
+def _window_attention(
+    p: Params, ln: Params, x: jnp.ndarray, heads: int, ws: int
+) -> jnp.ndarray:
+    """Windowed attention with learned per-offset bias. x: (B, H, W, C),
+    PRE-norm: the official TinyViT pads the pre-norm input with zeros and
+    applies the attention's LayerNorm after windowing (tiny_vit_sam.py
+    TinyViTBlock.forward pads, Attention.forward norms), so pad tokens
+    enter qkv as LN(0) = ln_bias — replicated here by norming after the
+    window partition."""
     b, hgt, wid, c = x.shape
     pad_h = (ws - hgt % ws) % ws
     pad_w = (ws - wid % ws) % ws
@@ -103,6 +110,7 @@ def _window_attention(p: Params, x: jnp.ndarray, heads: int, ws: int) -> jnp.nda
     nh, nw = ph // ws, pw // ws
     win = x.reshape(b, nh, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
     win = win.reshape(b * nh * nw, ws * ws, c)
+    win = _layer_norm(ln, win)
 
     hd = c // heads
     qkv = win @ p["qkv_w"] + p["qkv_b"]  # (N, T, 3C)
@@ -137,8 +145,7 @@ def _offset_index(ws: int) -> np.ndarray:
 
 
 def _tinyvit_block(p: Params, x: jnp.ndarray, heads: int, ws: int, cfg) -> jnp.ndarray:
-    h = _layer_norm(p["ln1"], x)
-    x = x + _window_attention(p["attn"], h, heads, ws)
+    x = x + _window_attention(p["attn"], p["ln1"], x, heads, ws)
     # NOTE: the reference TinyViT applies local_conv WITHOUT a residual
     # (tiny_vit_sam.py TinyViTBlock.forward: x = self.local_conv(x))
     x = _conv_bn(p["local_conv"], x, groups=x.shape[-1])
