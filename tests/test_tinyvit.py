@@ -43,6 +43,36 @@ def test_window_attention_bias_index():
     assert idx[4, 4] == 12  # zero offset = center code
 
 
+def test_fused_block_matches_plain():
+    """The Pallas window-attention + fused-MLP block path (interpret mode)
+    must match the plain jnp reference for every TinyViT-5M stage geometry
+    (c, heads, ws), including non-dividing window sizes (padding path)."""
+    from yolo_sam_inference_tpu.models.sam.tinyvit import _tinyvit_block
+
+    cfg = TinyViTConfig()
+    params = init_tinyvit_params(1, cfg)
+    rng = np.random.default_rng(2)
+    for si, hw in ((1, 16), (2, 15), (3, 9)):
+        p = params[f"stage{si}"][0]
+        heads, ws = cfg.num_heads[si], cfg.window_sizes[si]
+        c = cfg.embed_dims[si]
+        # init leaves attention-bias tables and qkv biases at zero — fill
+        # them so the kernel's bias add + softmax path is actually exercised
+        p["attn"]["attn_bias"] = jnp.asarray(
+            rng.normal(0, 0.5, p["attn"]["attn_bias"].shape), jnp.float32
+        )
+        p["attn"]["qkv_b"] = jnp.asarray(
+            rng.normal(0, 0.1, p["attn"]["qkv_b"].shape), jnp.float32
+        )
+        x = jnp.asarray(rng.normal(size=(2, hw, hw, c)), jnp.float32)
+        plain = _tinyvit_block(p, x, heads, ws, cfg)
+        fused = _tinyvit_block(p, x, heads, ws, cfg, fused=True, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(plain), atol=3e-5, rtol=1e-4,
+            err_msg=f"stage {si} (c={c}, heads={heads}, ws={ws})",
+        )
+
+
 def test_mobile_sam_engine_integration():
     from yolo_sam_inference_tpu.models.sam import sam_tiny_test
     from yolo_sam_inference_tpu.models.yolo import YoloConfig

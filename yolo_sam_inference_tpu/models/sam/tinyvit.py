@@ -144,7 +144,27 @@ def _offset_index(ws: int) -> np.ndarray:
     return _OFFSET_CACHE[ws]
 
 
-def _tinyvit_block(p: Params, x: jnp.ndarray, heads: int, ws: int, cfg) -> jnp.ndarray:
+def _tinyvit_block(
+    p: Params, x: jnp.ndarray, heads: int, ws: int, cfg,
+    fused: bool = False, interpret: bool = False,
+) -> jnp.ndarray:
+    if fused:
+        from ...ops.fused_ln import fused_ln_mlp
+        from ...ops.tinyvit_attention import tinyvit_window_block
+
+        a = p["attn"]
+        x = tinyvit_window_block(
+            x, a["attn_bias"][:, _offset_index(ws)],
+            p["ln1"]["scale"], p["ln1"]["bias"],
+            a["qkv_w"], a["qkv_b"], a["proj_w"], a["proj_b"],
+            heads, ws, interpret=interpret,
+        )
+        x = _conv_bn(p["local_conv"], x, groups=x.shape[-1])
+        return fused_ln_mlp(
+            x, None, p["ln2"]["scale"], p["ln2"]["bias"],
+            p["mlp1_w"], p["mlp1_b"], p["mlp2_w"], p["mlp2_b"],
+            eps=1e-5, interpret=interpret,
+        )
     x = x + _window_attention(p["attn"], p["ln1"], x, heads, ws)
     # NOTE: the reference TinyViT applies local_conv WITHOUT a residual
     # (tiny_vit_sam.py TinyViTBlock.forward: x = self.local_conv(x))
@@ -156,8 +176,15 @@ def _tinyvit_block(p: Params, x: jnp.ndarray, heads: int, ws: int, cfg) -> jnp.n
 
 
 def tinyvit_encoder(params: Params, pixel_values: jnp.ndarray, cfg: TinyViTConfig) -> jnp.ndarray:
-    """(B, S, S, 3) normalized -> (B, S/16, S/16, output_channels)."""
+    """(B, S, S, 3) normalized -> (B, S/16, S/16, output_channels).
+
+    On TPU the transformer stages run as fused Pallas passes
+    (ops/tinyvit_attention.py window kernel + ops/fused_ln.py MLP tail);
+    the plain jnp formulation below stays the CPU/test reference —
+    interpret-mode equality is enforced by tests/test_tinyvit.py.
+    """
     p = params
+    fused = jax.default_backend() != "cpu"
     # patch embed: Conv2d_BN + GELU + Conv2d_BN (no activation after the
     # second conv — tiny_vit_sam.py PatchEmbed.seq)
     x = _gelu(_conv_bn(p["stem1"], pixel_values, stride=2))
@@ -170,7 +197,9 @@ def tinyvit_encoder(params: Params, pixel_values: jnp.ndarray, cfg: TinyViTConfi
 
     for si in (1, 2, 3):
         for bp in p[f"stage{si}"]:
-            x = _tinyvit_block(bp, x, cfg.num_heads[si], cfg.window_sizes[si], cfg)
+            x = _tinyvit_block(
+                bp, x, cfg.num_heads[si], cfg.window_sizes[si], cfg, fused=fused
+            )
         if si < 3:
             # last merge keeps stride 1 so the final grid is S/16 (MobileSAM)
             stride = 2 if si == 1 else 1

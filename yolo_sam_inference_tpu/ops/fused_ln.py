@@ -102,12 +102,18 @@ def _erf_as(x):
 
 
 def _ln_mlp_kernel(
-    x_ref, a_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    o_ref, *, eps: float,
+    x_ref, *refs, eps: float, with_attn: bool = True,
 ):
     """out = (x + a) + mlp(LayerNorm(x + a)) — the transformer-block tail in
-    one pass; the (bm, hidden) activation lives only in VMEM."""
-    y = x_ref[...] + a_ref[...]
+    one pass; the (bm, hidden) activation lives only in VMEM. With
+    ``with_attn=False`` (no attention-residual operand, e.g. the TinyViT
+    tail) computes x + mlp(LayerNorm(x))."""
+    if with_attn:
+        a_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref = refs
+        y = x_ref[...] + a_ref[...]
+    else:
+        s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref = refs
+        y = x_ref[...]
     ln = _ln_rows(y, s_ref[...], b_ref[...], eps)
     hidden = w1_ref.shape[-1]
     # split the hidden dim so the gelu (VPU) of one chunk can overlap the
@@ -153,7 +159,8 @@ def fused_ln_mlp(
     2*(C*hidden) fits, e.g. ViT-B: 9 MB bf16) and the (rows, hidden)
     activation never touches HBM — replacing ~670 MB/layer of XLA traffic
     (add + LN + two batched dots + gelu round-trips) with 96 MB read +
-    48 MB write at bench shape.
+    48 MB write at bench shape. ``attn=None`` computes x + mlp(LN(x))
+    (no attention-residual operand — the TinyViT block tail).
     """
     orig_shape = x.shape
     c = x.shape[-1]
@@ -161,16 +168,17 @@ def fused_ln_mlp(
     m = x.size // c
     bm = _pick_bm(m, c, block_rows)
     x2 = x.reshape(m, c)
-    a2 = attn.reshape(m, c)
     grid = (m // bm,)
     row = lambda i: (i, 0)
     full = lambda i: (0, 0)
+    attn_spec = [pl.BlockSpec((bm, c), row)] if attn is not None else []
+    attn_arg = [attn.reshape(m, c)] if attn is not None else []
     out = pl.pallas_call(
-        functools.partial(_ln_mlp_kernel, eps=eps),
+        functools.partial(_ln_mlp_kernel, eps=eps, with_attn=attn is not None),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, c), row),
-            pl.BlockSpec((bm, c), row),
+            *attn_spec,
             pl.BlockSpec((1, c), full),
             pl.BlockSpec((1, c), full),
             pl.BlockSpec((c, hidden), full),
@@ -186,7 +194,7 @@ def fused_ln_mlp(
         interpret=interpret,
     )(
         x2,
-        a2,
+        *attn_arg,
         scale.reshape(1, c).astype(x.dtype),
         bias.reshape(1, c).astype(x.dtype),
         w1.astype(x.dtype),

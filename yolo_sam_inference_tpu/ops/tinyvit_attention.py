@@ -1,0 +1,224 @@
+"""Fused TinyViT windowed-attention block as one Pallas pass.
+
+The MobileSAM/TinyViT transformer stages run LeViT-style windowed attention
+(learned per-offset bias tables, window sizes 7/14 that do NOT divide the
+token grid) over small windows of T = ws^2 = 49/196 tokens with head dim 32.
+XLA executes the plain formulation as:
+
+    pad -> 6D window partition -> LayerNorm -> qkv + 5D head transpose ->
+    thousands of (T, 32)x(32, T) batched matmuls -> softmax -> ... ->
+    inverse partition
+
+measured at ~230 ms of the 347 ms MobileSAM batch-128 bench iteration
+(attention logits einsum alone: 58 ms at <1% MXU efficiency — the per-head
+per-window matmuls are too small for XLA's batched-dot tiling, and every
+step between them round-trips HBM).
+
+Here the *wrapper* does the cheap part in XLA — pad + window partition to a
+(N, Tp, C) token tensor, Tp = T rounded up to the sublane count (Mosaic
+rejects shape casts whose merged second-minor dim is not 8-aligned, so the
+47/196-token windows are padded to 56/200 with masked-out keys) — and the
+kernel computes   out = x + proj(attn(LN(x)))   in ONE pass over blocks of
+whole windows:
+
+* the block's LayerNorm + qkv projection run as one full-lane
+  (nwin*Tp, C) @ (C, 3C) matmul (C = 128/160/320);
+* per-window, per-head (Tp, hd) x (hd, Tp) dots + fp32 bias add + fp32
+  softmax all stay in VMEM (pad keys are masked with -1e9 folded into the
+  bias operand; pad-query rows are discarded by the inverse partition);
+* the output projection runs once per block on the re-assembled
+  (nwin*Tp, C) tokens, and the residual add closes the block.
+
+Padding parity: the official TinyViT pads the PRE-norm input with zeros and
+norms after windowing (tiny_vit_sam.py TinyViTBlock.forward pads,
+Attention.forward norms), so pad tokens enter qkv as LN(0) = ln_bias. The
+wrapper pads with zeros and the kernel's LN reproduces exactly that.
+
+Reference anchor: MobileSAM tiny_vit_sam.py (Attention + TinyViTBlock); the
+reference pipeline swaps SAM variants by checkpoint name (reference
+pipeline.py:76).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln_rows(y, scale, bias, eps):
+    yf = y.astype(jnp.float32)
+    mean = jnp.mean(yf, axis=-1, keepdims=True)
+    d = yf - mean
+    var = jnp.mean(d * d, axis=-1, keepdims=True)
+    return (d * jax.lax.rsqrt(var + eps) * scale + bias).astype(y.dtype)
+
+
+def _tinyvit_attn_kernel(
+    x_ref, bias_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+    o_ref,
+    *, nwin: int, heads: int, scale: float, eps: float,
+):
+    tp = x_ref.shape[1]
+    c = x_ref.shape[2]
+    hd = c // heads
+
+    xb = x_ref[...]  # (nwin, Tp, C)
+    flat = xb.reshape(nwin * tp, c)  # Tp % 8 == 0 -> legal shape cast
+    ln = _ln_rows(flat, lns_ref[...], lnb_ref[...], eps)
+    qkv = (
+        jax.lax.dot_general(
+            ln, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bqkv_ref[...]
+    ).astype(xb.dtype)  # (rows, 3C) — ONE full-lane matmul for the block
+    qkv3 = qkv.reshape(nwin, tp, 3 * c)
+
+    win_outs = []
+    for w in range(nwin):
+        wqkv = qkv3[w]  # (Tp, 3C) — major-dim index, no relayout
+        head_outs = []
+        for h in range(heads):
+            q = wqkv[:, h * hd : (h + 1) * hd]
+            k = wqkv[:, c + h * hd : c + (h + 1) * hd]
+            v = wqkv[:, 2 * c + h * hd : 2 * c + (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q * q.dtype.type(scale), k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias_ref[h]  # (Tp, Tp) fp32; pad keys carry -1e9
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp((s - m).astype(v.dtype))  # exp(<=0): safe in bf16
+            l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+            o_h = jax.lax.dot_general(
+                p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / jnp.maximum(l, 1e-30)
+            head_outs.append(o_h)
+        win_outs.append(
+            jnp.concatenate(head_outs, axis=-1).astype(xb.dtype)[None]
+        )  # (1, Tp, C)
+    attn = jnp.concatenate(win_outs, axis=0).reshape(nwin * tp, c)
+    out = (
+        jax.lax.dot_general(
+            attn, wp_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bp_ref[...]
+    ).astype(xb.dtype)
+    o_ref[...] = xb + out.reshape(nwin, tp, c)
+
+
+def _pick_nwin(n: int, tp: int, heads: int) -> int:
+    """Windows per grid step: amortize the per-step LN/qkv/proj matmuls
+    while bounding VMEM rows and the unrolled window x head loop."""
+    best = 1
+    for cand in range(2, n + 1):
+        if n % cand:
+            continue
+        if cand * tp > 512 or cand * heads > 100:
+            break
+        best = cand
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "ws", "interpret")
+)
+def tinyvit_window_block(
+    x: jnp.ndarray,
+    bias_tt: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wproj: jnp.ndarray,
+    bproj: jnp.ndarray,
+    heads: int,
+    ws: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (B, H, W, C) PRE-norm -> x + proj(window_attn(LN(pad(x)))).
+
+    bias_tt: (heads, T, T) fp32 per-pair attention bias (the learned
+    per-offset table already expanded to token pairs). Pads x with zeros to
+    window multiples (official-TinyViT pad-before-norm semantics), window-
+    partitions in XLA, runs the fused kernel over (nwin, Tp, C) blocks, and
+    inverse-partitions back to (B, H, W, C).
+    """
+    b, hgt, wid, c = x.shape
+    hd = c // heads
+    pad_h = (ws - hgt % ws) % ws
+    pad_w = (ws - wid % ws) % ws
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp_cols = hgt + pad_h, wid + pad_w
+    nh, nw = hp // ws, wp_cols // ws
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    t = ws * ws
+    tp = (t + 7) // 8 * 8  # sublane-align the token axis
+    n = b * nh * nw
+
+    # window partition (XLA relayout, ~2 HBM passes) + token padding
+    xw = x.reshape(b, nh, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    xw = xw.reshape(n, t, c)
+    if tp != t:
+        xw = jnp.pad(xw, ((0, 0), (0, tp - t), (0, 0)))
+
+    # pad the bias to (heads, Tp, Tp); -1e9 on pad KEY columns masks them
+    # out of every softmax (pad-query rows are sliced away afterwards)
+    bias_p = jnp.pad(
+        bias_tt.astype(jnp.float32),
+        ((0, 0), (0, tp - t), (0, tp - t)),
+        constant_values=-1e9,
+    )
+    if tp != t:  # pad-query rows: keep real keys finite, mask pad keys
+        bias_p = bias_p.at[:, t:, :t].set(0.0)
+
+    nwin = _pick_nwin(n, tp, heads)
+    kernel = functools.partial(
+        _tinyvit_attn_kernel,
+        nwin=nwin, heads=heads, scale=hd ** -0.5, eps=eps,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // nwin,),
+        in_specs=[
+            pl.BlockSpec((nwin, tp, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((heads, tp, tp), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * c), lambda i: (0, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nwin, tp, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, tp, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(
+        xw,
+        bias_p,
+        ln_scale.reshape(1, c).astype(jnp.float32),
+        ln_bias.reshape(1, c).astype(jnp.float32),
+        wqkv.astype(x.dtype),
+        bqkv.reshape(1, 3 * c).astype(jnp.float32),
+        wproj.astype(x.dtype),
+        bproj.reshape(1, c).astype(jnp.float32),
+    )
+
+    # inverse partition; pad-token rows are dropped here
+    out = out[:, :t, :].reshape(b, nh, nw, ws, ws, c)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp_cols, c)
+    if pad_h or pad_w:
+        out = out[:, :hgt, :wid, :]
+    return out
