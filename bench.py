@@ -130,10 +130,12 @@ def _run_bench() -> None:
         from PIL import Image
 
         n_files = int(os.environ.get("BENCH_E2E_FILES", "256"))
-        # warm the stage-jitted programs (process_directory uses them, not the
-        # fused program) so the e2e number measures steady-state throughput,
-        # not the four one-time XLA compiles
+        # warm the jitted programs process_directory uses (stage-jitted
+        # sample path + the async fused path, both on the loader's
+        # collapsed-grayscale 3D batches) so the e2e number measures
+        # steady-state throughput, not the one-time XLA compiles
         pipe.process_batch_arrays(imgs)
+        pipe._fetch_outputs(pipe._dispatch_batch(imgs[..., 0]))
         with tempfile.TemporaryDirectory() as td:
             for i in range(n_files):
                 Image.fromarray(imgs[i % batch]).save(f"{td}/img_{i:04d}.png")

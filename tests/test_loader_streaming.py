@@ -25,9 +25,26 @@ def test_streaming_covers_all_images_once(tmp_path, rng):
     files = _write(tmp_path, rng, 37, 64, 96, "a")  # not a multiple of batch
     seen = []
     for batch, paths, n_valid, _ in batched_image_loader(files, batch_size=8):
-        assert batch.shape == (8, 64, 96, 3)
+        # synthetic microscopy frames are replicated-RGB -> the loader
+        # collapses them to one channel (3x smaller host->device transfer)
+        assert batch.shape == (8, 64, 96)
+        assert batch.dtype == np.uint8
         seen.extend(paths[:n_valid])
     assert sorted(str(p) for p in seen) == sorted(str(p) for p in files)
+
+
+def test_streaming_true_rgb_keeps_channels(tmp_path, rng):
+    from PIL import Image
+
+    paths = []
+    for i in range(4):
+        arr = rng.integers(0, 255, size=(32, 48, 3), dtype=np.uint8)
+        p = tmp_path / f"rgb_{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    (batch, _, n_valid, _), = batched_image_loader(paths, batch_size=4)
+    assert batch.shape == (4, 32, 48, 3)
+    assert n_valid == 4
 
 
 def test_streaming_mixed_shapes(tmp_path, rng):

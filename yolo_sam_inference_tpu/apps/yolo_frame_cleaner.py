@@ -91,6 +91,8 @@ def save_debug_visualization(
     confidence labels when cv2 is available."""
     from ..io.images import save_image
 
+    if image.ndim == 2:  # loader may deliver collapsed grayscale
+        image = np.repeat(image[..., None], 3, axis=-1)
     vis = np.ascontiguousarray(image.copy())
     _draw_rect(vis, (roi["x_min"], roi["y_min"], roi["x_max"], roi["y_max"]),
                (0, 0, 255))

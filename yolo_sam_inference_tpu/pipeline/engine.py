@@ -633,20 +633,43 @@ class CellSegmentationPipeline:
         )
         gray = _gray_f32(dev_images)
         mets = timed("metrics_total", st["metrics"], crops, offs, gray)
-        cm = crops.shape[-1]
         packed = st["pack"](crops)  # 1 bit/px across the link, unpack on host
+        return self._fetch_outputs(
+            {"boxes": boxes, "scores": scores, "valid": valid, "packed": packed,
+             "offsets": offs, "metrics": mets, "b": b, "cm": crops.shape[-1]}
+        )
 
-        # [:b] drops dp-padding rows added by _images_to_device (no-op when
-        # the mesh is absent or the batch already divides dp)
+    def _dispatch_batch(self, images: np.ndarray) -> Dict[str, Any]:
+        """Dispatch the FUSED program + device-side mask bitpack for one
+        batch WITHOUT host sync; returns device handles for
+        :meth:`_fetch_outputs`. The async building block of
+        :meth:`process_directory`: batch i computes on device while batch
+        i-1's results stream back and batch i+1 decodes on the host."""
+        st = self._stages(images.shape[1], images.shape[2])
+        dev_images, b = self._images_to_device(images)
+        boxes, scores, valid, crops, offs, mets = st["fused"](
+            st["yolo_params"], st["sam_params"], dev_images
+        )
+        packed = st["pack"](crops)
+        return {"boxes": boxes, "scores": scores, "valid": valid,
+                "packed": packed, "offsets": offs, "metrics": mets,
+                "b": b, "cm": crops.shape[-1]}
+
+    @staticmethod
+    def _fetch_outputs(h: Dict[str, Any]) -> Dict[str, np.ndarray]:
+        """Materialize device handles to host arrays. [:b] drops dp-padding
+        rows added by _images_to_device (no-op when the mesh is absent or
+        the batch already divides dp)."""
+        b, cm = h["b"], h["cm"]
         return {
-            "boxes": np.asarray(boxes)[:b],
-            "scores": np.asarray(scores)[:b],
-            "valid": np.asarray(valid)[:b],
-            "mask_crops": np.unpackbits(np.asarray(packed)[:b], axis=-1)[
+            "boxes": np.asarray(h["boxes"])[:b],
+            "scores": np.asarray(h["scores"])[:b],
+            "valid": np.asarray(h["valid"])[:b],
+            "mask_crops": np.unpackbits(np.asarray(h["packed"])[:b], axis=-1)[
                 ..., :cm
             ].astype(bool),
-            "offsets": np.asarray(offs)[:b],
-            "metrics": {k: np.asarray(v)[:b] for k, v in mets.items()},
+            "offsets": np.asarray(h["offsets"])[:b],
+            "metrics": {k: np.asarray(v)[:b] for k, v in h["metrics"].items()},
         }
 
     def detect_batch_arrays(self, images: np.ndarray) -> Dict[str, np.ndarray]:
@@ -819,9 +842,41 @@ class CellSegmentationPipeline:
             ),
             depth=2,
         )
-        for batch_imgs, batch_paths, n_valid, load_s in batches:
+        # Async pipelined execution (single-core host, tunneled device): the
+        # fused program for batch i is dispatched without sync, then batch
+        # i-1's results are fetched/assembled while i computes — overlapping
+        # device work with host decode + CSV assembly. Per-stage timing rows
+        # come from a synced, stage-jitted SAMPLE batch (the first, then
+        # every 16th); intermediate batches reuse the latest sample
+        # (per-image amortization was already the reporting contract).
+        # Short runs (< 2 batches) keep the pure stage path — the fused
+        # program would cost an extra XLA compile for no overlap benefit.
+        few = len(files) <= bsz
+        pending: List[Tuple[Any, Any, List[Path], int, Dict[str, float]]] = []
+        sampled: Dict[str, float] = {}
+
+        def run_batch(bi, batch_imgs, batch_paths, n_valid, load_s):
             timings: Dict[str, float] = {"image_load": load_s}
-            out = self.process_batch_arrays(batch_imgs, timings)
+            if few or bi % 16 == 0:
+                out = self.process_batch_arrays(batch_imgs, timings)
+                sampled.clear()
+                sampled.update(
+                    {k: v for k, v in timings.items() if k != "image_load"}
+                )
+                return (out, None, batch_paths, n_valid, timings)
+            timings.update(sampled)
+            return (
+                None,
+                self._dispatch_batch(batch_imgs),
+                batch_paths,
+                n_valid,
+                timings,
+            )
+
+        def finish(entry, batch_imgs):
+            out, handles, batch_paths, n_valid, timings = entry
+            if out is None:
+                out = self._fetch_outputs(handles)
             batch_results = self._results_from_outputs(out, batch_paths, n_valid)
 
             vis_t0 = time.time()
@@ -830,8 +885,11 @@ class CellSegmentationPipeline:
 
                 for i, res in enumerate(batch_results):
                     try:
+                        img = batch_imgs[i]
+                        if img.ndim == 2:  # loader-collapsed grayscale
+                            img = np.repeat(img[..., None], 3, axis=-1)
                         save_vis(
-                            batch_imgs[i],
+                            img,
                             out["mask_crops"][i],
                             out["offsets"][i],
                             out["boxes"][i],
@@ -868,6 +926,15 @@ class CellSegmentationPipeline:
                     len(files),
                     int(total_timing["total_cells"]),
                 )
+
+        for bi, (batch_imgs, batch_paths, n_valid, load_s) in enumerate(batches):
+            pending.append(
+                (run_batch(bi, batch_imgs, batch_paths, n_valid, load_s), batch_imgs)
+            )
+            if len(pending) > 1:
+                finish(*pending.pop(0))
+        while pending:
+            finish(*pending.pop(0))
 
         return BatchProcessingResult(
             results=results,

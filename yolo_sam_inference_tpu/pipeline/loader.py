@@ -26,7 +26,7 @@ logger = setup_logger(__name__)
 def batched_image_loader(
     files: Sequence[Path],
     batch_size: int,
-    num_workers: int = 8,
+    num_workers: Optional[int] = None,
     skipped_report: "Optional[Path]" = None,
 ) -> Iterator[Tuple[np.ndarray, List[Path], int, float]]:
     """Yield (batch (B, H, W, 3) uint8, paths, n_valid, load_seconds).
@@ -41,6 +41,13 @@ def batched_image_loader(
     files = list(files)
     if not files:
         return
+    if num_workers is None:
+        # PIL's PNG decode holds the GIL, so decode threads only pay off up
+        # to the physical core count (8 threads on a 1-core host measured
+        # pure contention overhead)
+        import os as _os
+
+        num_workers = max(1, min(8, _os.cpu_count() or 1))
 
     def emit(items, load_s_per_img):
         n_valid = len(items)
@@ -48,7 +55,9 @@ def batched_image_loader(
         paths = [p for p, _ in items]
         while len(imgs) < batch_size:
             imgs.append(imgs[0])
-        batch = np.stack(imgs).astype(np.uint8)
+        # np.stack alone — a trailing .astype(uint8) re-copied the whole
+        # batch (~100 MB at B=128) for nothing on this single-core host
+        batch = np.stack(imgs)
         return batch, paths, n_valid, load_s_per_img * n_valid
 
     # Stream in bounded chunks (decode-ahead = a few batches), grouping by
@@ -91,10 +100,20 @@ def batched_image_loader(
 
 def _safe_load(path: Path):
     try:
-        return load_image(path)
+        img = load_image(path)
     except Exception as e:  # corrupt/zero-byte images are skipped, not fatal
         logger.warning("Failed to load %s: %s", path, e)
         return None
+    # collapse replicated-RGB (grayscale microscopy saved as RGB) to one
+    # channel at decode time: batches stack 3x smaller, and the engine's
+    # host->device transfer — the tunneled link's main cost — drops 3x.
+    # Shape-grouping keeps collapsed and true-RGB images in separate
+    # batches; the device re-broadcasts to RGB for free (_ensure_rgb).
+    if img.ndim == 3 and img.shape[-1] == 3:
+        c0 = img[..., 0]
+        if np.array_equal(c0, img[..., 1]) and np.array_equal(c0, img[..., 2]):
+            return np.ascontiguousarray(c0)
+    return img
 
 
 def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
