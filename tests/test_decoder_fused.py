@@ -97,3 +97,8 @@ def test_fused_decoder_matches_reference_path(monkeypatch):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(keys_f), np.asarray(keys_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+# heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
+# quick loop with `pytest -m "not slow" tests/`
+pytestmark = pytest.mark.slow

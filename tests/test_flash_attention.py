@@ -206,3 +206,8 @@ def test_relpos_tables_matches_einsum(s, window):
         axis=-1,
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+# heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
+# quick loop with `pytest -m "not slow" tests/`
+pytestmark = pytest.mark.slow

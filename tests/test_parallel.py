@@ -187,3 +187,8 @@ def test_num_pipelines_maps_to_batch_multiplier():
     )
     assert pipe.options.batch_size == 12
     assert pipe.num_pipelines == 4
+
+
+# heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
+# quick loop with `pytest -m "not slow" tests/`
+pytestmark = pytest.mark.slow

@@ -210,3 +210,8 @@ def test_project_tree_fixture(tmp_path):
     root = make_project_tree(tmp_path / "project")
     pngs = list(root.rglob("*.png"))
     assert len(pngs) == 2 * 2 * 3
+
+
+# heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
+# quick loop with `pytest -m "not slow" tests/`
+pytestmark = pytest.mark.slow

@@ -168,3 +168,8 @@ def test_decoder_softmax_bf16_logits_bound():
     assert np.max(err) < 3e-2
     assert np.mean(err) < 2e-4
     np.testing.assert_allclose(got.sum(axis=-1), 1.0, atol=1e-5)
+
+
+# heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
+# quick loop with `pytest -m "not slow" tests/`
+pytestmark = pytest.mark.slow

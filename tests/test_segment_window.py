@@ -61,3 +61,8 @@ def test_windowed_segment_matches_full_path(rng):
 
     agree = np.asarray(crops) == np.asarray(want_masks)
     assert agree.mean() > 0.999, agree.mean()
+
+
+# heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
+# quick loop with `pytest -m "not slow" tests/`
+pytestmark = pytest.mark.slow

@@ -100,3 +100,8 @@ def test_mobile_sam_engine_integration():
     img = make_cell_image(np.random.default_rng(0))
     out = pipe.process_batch_arrays(img[None])
     assert out["mask_crops"].shape[0] == 1
+
+
+# heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
+# quick loop with `pytest -m "not slow" tests/`
+pytestmark = pytest.mark.slow

@@ -423,3 +423,8 @@ def test_load_sam_params_dispatches_mobilesam(torch_sam, torch_tinyvit, tmp_path
     params = load_sam_params(str(path), sam_tiny_test())
     assert "tinyvit" in params
     assert params["decoder"]["iou_token"].shape[0] == 1
+
+
+# heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
+# quick loop with `pytest -m "not slow" tests/`
+pytestmark = pytest.mark.slow

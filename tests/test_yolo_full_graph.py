@@ -110,3 +110,8 @@ def test_full_yolo_graph_parity():
             np.asarray(g), w_nhwc, rtol=5e-3, atol=5e-4,
             err_msg=f"level {lvl}",
         )
+
+
+# heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
+# quick loop with `pytest -m "not slow" tests/`
+pytestmark = pytest.mark.slow
