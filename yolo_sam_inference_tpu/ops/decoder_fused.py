@@ -314,8 +314,15 @@ def i2t_keys_update(
     )
     # prompt pairs per grid step (halves the step count; legal whenever the
     # pair shares a keys-source block: always for per-prompt keys, and for
-    # k_share >= pb sharing since pb divides k_share)
-    pb = 2 if n % 2 == 0 and (k_share == 1 or k_share % 2 == 0) else 1
+    # k_share >= pb sharing since pb divides k_share). VMEM-gated: at the
+    # ViT-H/2048 config (t=4096) a paired keys block is 4 MB and the kernel
+    # sits at the 16 MB scoped-vmem limit — the lax.map-chunked wrapper's
+    # stack overhead then tips it over, so large-t blocks stay unpaired.
+    pb = (
+        2
+        if n % 2 == 0 and (k_share == 1 or k_share % 2 == 0) and t * c <= 2**18
+        else 1
+    )
     shared_src = k_share > 1
     if shared_src:
         keys_spec = pl.BlockSpec(
