@@ -73,6 +73,27 @@ def test_fused_block_matches_plain():
         )
 
 
+def test_fused_mbconv_matches_plain():
+    """The Pallas MBConv kernel (interpret mode) must match the plain conv
+    formulation, including the zero-padded-expanded-tensor edge semantics
+    (the halo mask: padded x rows would otherwise leak gelu(conv1_bias))."""
+    from yolo_sam_inference_tpu.models.sam.tinyvit import _mbconv
+
+    cfg = TinyViTConfig()
+    params = init_tinyvit_params(3, cfg)
+    p = params["stage0"][0]
+    rng = np.random.default_rng(4)
+    p["conv1"]["b"] = jnp.asarray(rng.normal(0, 0.3, p["conv1"]["b"].shape), jnp.float32)
+    p["conv2"]["b"] = jnp.asarray(rng.normal(0, 0.3, p["conv2"]["b"].shape), jnp.float32)
+    p["conv3"]["b"] = jnp.asarray(rng.normal(0, 0.3, p["conv3"]["b"].shape), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, cfg.embed_dims[0])), jnp.float32)
+    plain = _mbconv(p, x)
+    fused = _mbconv(p, x, fused=True, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(plain), atol=3e-5, rtol=1e-4
+    )
+
+
 def test_mobile_sam_engine_integration():
     from yolo_sam_inference_tpu.models.sam import sam_tiny_test
     from yolo_sam_inference_tpu.models.yolo import YoloConfig

@@ -72,7 +72,19 @@ def _conv_bn(p: Params, x: jnp.ndarray, stride: int = 1, groups: int = 1) -> jnp
     return y + p["b"]
 
 
-def _mbconv(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def _mbconv(
+    p: Params, x: jnp.ndarray, fused: bool = False, interpret: bool = False
+) -> jnp.ndarray:
+    if fused and x.shape[2] % 8 == 0:
+        from ...ops.mbconv_fused import mbconv_block
+
+        return mbconv_block(
+            x,
+            p["conv1"]["w"][0, 0], p["conv1"]["b"],
+            p["conv2"]["w"], p["conv2"]["b"],
+            p["conv3"]["w"][0, 0], p["conv3"]["b"],
+            interpret=interpret,
+        )
     h = _gelu(_conv_bn(p["conv1"], x))
     h = _gelu(_conv_bn(p["conv2"], h, groups=h.shape[-1]))
     h = _conv_bn(p["conv3"], h)
@@ -192,7 +204,7 @@ def tinyvit_encoder(params: Params, pixel_values: jnp.ndarray, cfg: TinyViTConfi
 
     # stage 0: MBConv
     for bp in p["stage0"]:
-        x = _mbconv(bp, x)
+        x = _mbconv(bp, x, fused=fused)
     x = _patch_merge(p["merge0"], x, stride=2)  # /8
 
     for si in (1, 2, 3):

@@ -1,0 +1,186 @@
+"""Fused MBConv block (TinyViT stage 0) as one Pallas pass.
+
+The MBConv block  out = gelu(x + conv3(gelu(dw3x3(gelu(conv1(x))))))
+expands 64 -> 256 channels, runs a depthwise 3x3, and projects back.
+XLA executes it as separate convolutions with the 4x-expanded activation
+round-tripping HBM between each, and its depthwise emitter
+(`EmitDepthwiseInputBatchInSublanes`) runs ~30x off memory-bound — at the
+MobileSAM bench (B=32, 512px) the two stage-0 dwconvs profiled 4.9 ms EACH
+and the full MBConv chain ~16 ms of a 57 ms iteration.
+
+This kernel streams row strips of the (spatially zero-padded) input and
+keeps the expanded activation entirely in VMEM:
+
+* conv1 (1x1) runs as one (rows, C) @ (C, E) matmul over the strip PLUS
+  its one-row halos above/below (1x1 conv => halo expansion is exact
+  recomputation, 2/h extra work);
+* halo/edge positions are re-masked to zero before the depthwise pass
+  (the reference pads the EXPANDED tensor with zeros; padded x rows would
+  otherwise contribute gelu(b1) != 0 through the conv1 bias);
+* the depthwise 3x3 is 9 shifted VPU multiply-adds on the VMEM-resident
+  expanded strip (static sublane/lane slices — no grouped-conv emitter);
+* conv3 (1x1) projects back as one matmul, and the residual + outer GELU
+  close the strip.
+
+HBM traffic drops to ~1.1x read + 1x write of the UNEXPANDED tensor.
+
+The halo rows ride Pallas BlockSpecs with block height 1: a height-1 block
+can address ANY row (index maps return block-sized offsets), so the same
+padded input is passed three times — an (h)-row center block plus the rows
+just above and below it.
+
+Reference anchor: MobileSAM tiny_vit_sam.py MBConv.forward; stage-0 swap
+selected by checkpoint name (reference pipeline.py:76).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf_as(x):
+    """Abramowitz-Stegun 7.1.26 erf (fp32, |err| <= 1.5e-7)."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_f32(x):
+    return x * 0.5 * (1.0 + _erf_as(x * (2.0 ** -0.5)))
+
+
+def _mbconv_kernel(
+    xc_ref, xt_ref, xb_ref, w1_ref, b1_ref, wd_ref, bd_ref, w3_ref, b3_ref,
+    o_ref,
+    *, h: int, nh: int, w: int,
+):
+    wp = xc_ref.shape[2]  # W padded +1 left and to a sublane multiple right
+    c = xc_ref.shape[3]
+    e = w1_ref.shape[1]
+
+    xc = xc_ref[0]  # (h, Wp, C) center strip
+    xt = xt_ref[0]  # (1, Wp, C) row above
+    xb = xb_ref[0]  # (1, Wp, C) row below
+    ext = jnp.concatenate([xt, xc, xb], axis=0)  # (h+2, Wp, C)
+
+    flat = ext.reshape((h + 2) * wp, c)
+    h1 = (
+        jax.lax.dot_general(
+            flat, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1_ref[...]
+    )
+    h1 = _gelu_f32(h1).astype(xc.dtype).reshape(h + 2, wp, e)
+
+    # zero the expanded halo where the INPUT was spatial zero-padding: the
+    # reference pads the expanded tensor with zeros, but conv1's bias makes
+    # gelu(b1) != 0 there. Columns 0 and Wp-1 always; the top halo row on
+    # the first strip; the bottom halo row on the last strip.
+    i = pl.program_id(1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
+    col_ok = (col > 0) & (col < w + 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h + 2, 1, 1), 0)
+    row_ok = ((row > 0) | (i > 0)) & ((row < h + 1) | (i < nh - 1))
+    h1 = jnp.where(col_ok & row_ok, h1, jnp.zeros((), h1.dtype))
+
+    # depthwise 3x3: 9 shifted VPU FMAs on the VMEM-resident strip
+    acc = jnp.broadcast_to(bd_ref[...].reshape(1, 1, e), (h, w, e)).astype(jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + (
+                h1[dy : dy + h, dx : dx + w, :].astype(jnp.float32)
+                * wd_ref[dy, dx]
+            )
+    h2 = _gelu_f32(acc).astype(xc.dtype)
+
+    out = (
+        jax.lax.dot_general(
+            h2.reshape(h * w, e), w3_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b3_ref[...]
+    )
+    res = xc[:, 1 : 1 + w, :].reshape(h * w, c).astype(jnp.float32)
+    o_ref[0] = (
+        _gelu_f32(res + out).astype(xc.dtype).reshape(h, w, c)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mbconv_block(
+    x: jnp.ndarray,
+    w1: jnp.ndarray, b1: jnp.ndarray,
+    wd: jnp.ndarray, bd: jnp.ndarray,
+    w3: jnp.ndarray, b3: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (B, H, W, C) -> gelu(x + conv3(gelu(dw3x3(gelu(conv1(x)))))).
+
+    w1 (C, E) 1x1 expand, wd (3, 3, 1, E) depthwise HWIO, w3 (E, C) 1x1
+    project; all biases pre-folded BN. W must be a multiple of 8
+    (sublane-aligned flatten) — TinyViT stage 0 runs at S/4 = 128/256.
+    """
+    b, hgt, wid, c = x.shape
+    e = w1.shape[1]
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    # width padding: +1 zero column left (dw 'same'), right padded so the
+    # total is a sublane multiple (Mosaic rejects shape casts whose merged
+    # second-minor dim is not 8-aligned); the right pad also covers dw's
+    # +1 column and is re-masked after conv1
+    wp = (wid + 2 + 7) // 8 * 8
+    # strip height: divisor of H, VMEM-bounded expanded strip
+    h = 1
+    for cand in range(2, min(hgt, 33)):
+        if hgt % cand == 0 and (cand + 2) * wp * e * 6 <= 4_000_000:
+            h = cand
+    nh = hgt // h
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wid - 1), (0, 0)))
+
+    kernel = functools.partial(_mbconv_kernel, h=h, nh=nh, w=wid)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nh),
+        in_specs=[
+            pl.BlockSpec((1, h, wp, c), lambda bi, i, _h=h: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 1, wp, c), lambda bi, i, _h=h: (bi, i * _h, 0, 0)),
+            pl.BlockSpec((1, 1, wp, c), lambda bi, i, _h=h: (bi, i * _h + _h + 1, 0, 0)),
+            pl.BlockSpec((c, e), lambda bi, i: (0, 0)),
+            pl.BlockSpec((1, e), lambda bi, i: (0, 0)),
+            pl.BlockSpec((3, 3, e), lambda bi, i: (0, 0, 0)),
+            pl.BlockSpec((1, e), lambda bi, i: (0, 0)),
+            pl.BlockSpec((e, c), lambda bi, i: (0, 0)),
+            pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, wid, c), lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hgt, wid, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        # center strips exclude the padded top row: slice rows [1, 1+H)
+        jax.lax.slice(xp, (0, 1, 0, 0), (b, 1 + hgt, wp, c)),
+        xp,
+        xp,
+        w1.astype(x.dtype),
+        b1.reshape(1, e).astype(jnp.float32),
+        wd.reshape(3, 3, e).astype(jnp.float32),
+        bd.reshape(1, e).astype(jnp.float32),
+        w3.astype(x.dtype),
+        b3.reshape(1, c).astype(jnp.float32),
+    )
+    return out

@@ -60,7 +60,7 @@ def _ln_rows(y, scale, bias, eps):
 def _tinyvit_attn_kernel(
     x_ref, bias_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
     o_ref,
-    *, nwin: int, heads: int, scale: float, eps: float,
+    *, nwin: int, pack: int, heads: int, scale: float, eps: float,
 ):
     tp = x_ref.shape[1]
     c = x_ref.shape[2]
@@ -76,11 +76,15 @@ def _tinyvit_attn_kernel(
         )
         + bqkv_ref[...]
     ).astype(xb.dtype)  # (rows, 3C) — ONE full-lane matmul for the block
-    qkv3 = qkv.reshape(nwin, tp, 3 * c)
+    # `pack` windows share each attention dot: the (Tp, hd) per-window dots
+    # are MXU-latency-bound, so P windows are concatenated along tokens and
+    # cross-window logits are masked by the block-diagonal bias (-1e9 off
+    # the diagonal) — P x fewer dot issues for P x (MXU-cheap) waste FLOPs.
+    qkv3 = qkv.reshape(nwin // pack, pack * tp, 3 * c)
 
     win_outs = []
-    for w in range(nwin):
-        wqkv = qkv3[w]  # (Tp, 3C) — major-dim index, no relayout
+    for w in range(nwin // pack):
+        wqkv = qkv3[w]  # (P*Tp, 3C) — major-dim index, no relayout
         head_outs = []
         for h in range(heads):
             q = wqkv[:, h * hd : (h + 1) * hd]
@@ -90,7 +94,7 @@ def _tinyvit_attn_kernel(
                 q * q.dtype.type(scale), k,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bias_ref[h]  # (Tp, Tp) fp32; pad keys carry -1e9
+            ) + bias_ref[h]  # (P*Tp, P*Tp) fp32; pad/cross-window keys -1e9
             m = jnp.max(s, axis=1, keepdims=True)
             p = jnp.exp((s - m).astype(v.dtype))  # exp(<=0): safe in bf16
             l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
@@ -101,7 +105,7 @@ def _tinyvit_attn_kernel(
             head_outs.append(o_h)
         win_outs.append(
             jnp.concatenate(head_outs, axis=-1).astype(xb.dtype)[None]
-        )  # (1, Tp, C)
+        )  # (1, P*Tp, C)
     attn = jnp.concatenate(win_outs, axis=0).reshape(nwin * tp, c)
     out = (
         jax.lax.dot_general(
@@ -182,16 +186,37 @@ def tinyvit_window_block(
         bias_p = bias_p.at[:, t:, :t].set(0.0)
 
     nwin = _pick_nwin(n, tp, heads)
+    # windows per attention dot: P*Tp ~ 224 tokens keeps the MXU fed while
+    # the block-diagonal packed bias stays small VMEM (heads*(P*Tp)^2 fp32)
+    pack = 1
+    for cand in (4, 2):
+        if (
+            nwin % cand == 0
+            and cand * tp <= 256
+            and heads * (cand * tp) ** 2 * 4 <= 3_500_000
+        ):
+            pack = cand
+            break
+    if pack > 1:
+        blk = jnp.kron(
+            jnp.eye(pack, dtype=jnp.float32), jnp.ones((tp, tp), jnp.float32)
+        )
+        bias_p = jnp.where(
+            blk.astype(bool)[None],
+            jnp.tile(bias_p, (1, pack, pack)),
+            jnp.float32(-1e9),
+        )
+
     kernel = functools.partial(
         _tinyvit_attn_kernel,
-        nwin=nwin, heads=heads, scale=hd ** -0.5, eps=eps,
+        nwin=nwin, pack=pack, heads=heads, scale=hd ** -0.5, eps=eps,
     )
     out = pl.pallas_call(
         kernel,
         grid=(n // nwin,),
         in_specs=[
             pl.BlockSpec((nwin, tp, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((heads, tp, tp), lambda i: (0, 0, 0)),
+            pl.BlockSpec((heads, pack * tp, pack * tp), lambda i: (0, 0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((c, 3 * c), lambda i: (0, 0)),
