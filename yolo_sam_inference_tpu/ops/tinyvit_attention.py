@@ -119,12 +119,13 @@ def _tinyvit_attn_kernel(
 
 def _pick_nwin(n: int, tp: int, heads: int) -> int:
     """Windows per grid step: amortize the per-step LN/qkv/proj matmuls
-    while bounding VMEM rows and the unrolled window x head loop."""
+    while bounding VMEM rows and the unrolled window x head loop (window
+    packing divides the real unroll by ~4, so the head cap is generous)."""
     best = 1
     for cand in range(2, n + 1):
         if n % cand:
             continue
-        if cand * tp > 512 or cand * heads > 100:
+        if cand * tp > 1024 or cand * heads > 160:
             break
         best = cand
     return best
