@@ -61,7 +61,7 @@ def _run_bench() -> None:
     # batches per dispatch (lax.map chunking): per-dispatch host/tunnel
     # overhead is ~3.3 ms vs ~254 ms device work per batch — chunking is the
     # saturated-stream serving pattern and removes that ~1.3% bubble
-    chunk = int(os.environ.get("BENCH_CHUNK", "2"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "4"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     max_det = int(os.environ.get("BENCH_MAX_DET", "16"))
     # BASELINE.json configs: facebook/sam-vit-base (default), mobile-sam
