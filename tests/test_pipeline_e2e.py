@@ -158,6 +158,46 @@ def test_process_directory_and_reports(tiny_pipeline, tmp_path):
     assert (run_dir / "run_summary.txt").read_text().startswith("Pipeline Run Summary")
 
 
+def test_async_directory_path_matches_stage_api(tiny_pipeline, tmp_path):
+    """process_directory's async fused-dispatch path (batches after the
+    timed sample batch) must produce the same cells/metrics as the synced
+    stage-jitted API on the same images, and every image must still get a
+    full per-stage timing row (sampled amortization contract)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    imgs = [make_cell_image(rng) for _ in range(5)]
+    in_dir = tmp_path / "async_in"
+    in_dir.mkdir()
+    for i, im in enumerate(imgs):
+        Image.fromarray(im).save(in_dir / f"im_{i}.png")
+
+    batch = tiny_pipeline.process_directory(
+        in_dir, tmp_path / "async_out", progress=False
+    )
+    assert len(batch.results) == 5
+    by_name = {Path(r.image_path).name: r for r in batch.results}
+
+    # oracle: the synced stage API over the same 2-image groups
+    for start in range(0, 5, 2):
+        group = imgs[start : start + 2]
+        out = tiny_pipeline.process_batch_arrays(np.stack(group))
+        for j in range(len(group)):
+            res = by_name[f"im_{start + j}.png"]
+            assert res.num_cells == int(out["valid"][j].sum())
+            kept = [k for k in range(out["valid"].shape[1]) if out["valid"][j][k]]
+            for row, k in zip(res.cell_metrics, kept):
+                for key in ("area", "deformability", "mean_brightness"):
+                    assert row[key] == pytest.approx(
+                        float(out["metrics"][key][j, k]), rel=1e-5, abs=1e-5
+                    )
+
+    for res in batch.results:  # sampled timings propagate to every image
+        for key in ("image_load", "yolo_detection", "sam_preprocess",
+                    "sam_inference_total", "metrics_total", "total_time"):
+            assert key in res.timing
+
+
 def test_mixed_shapes_grouped(tiny_pipeline, tmp_path):
     from PIL import Image
 
