@@ -187,12 +187,17 @@ def main() -> None:
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env, text=True,
     )
     out = ""
+    killed = False
     try:
         out, _ = proc.communicate(timeout=budget)
     except subprocess.TimeoutExpired:
+        killed = True
         proc.kill()
         try:
-            proc.communicate(timeout=15)
+            # recovers whatever the child printed BEFORE the kill — a child
+            # that finished the bench but was slow tearing down still gets
+            # its real result reported
+            out, _ = proc.communicate(timeout=15)
         except subprocess.TimeoutExpired:
             pass
     # last stdout line that parses as a JSON object is the result
@@ -209,10 +214,15 @@ def main() -> None:
         with open(_LAST_GOOD) as f:
             saved = json.loads(f.read())
         result = saved["result"]
+        why = (
+            f"live run exceeded the {budget:.0f}s budget (cold XLA compile "
+            "cache or wedged device tunnel)"
+            if killed
+            else f"live run exited rc={proc.returncode} without printing a result"
+        )
         result["fallback"] = (
-            f"cached result from {saved['saved_at']}: live run exceeded the "
-            f"{budget:.0f}s budget (cold XLA compile cache), rc="
-            f"{proc.returncode}, elapsed={time.time() - t0:.0f}s"
+            f"cached result from {saved['saved_at']}: {why}, "
+            f"elapsed={time.time() - t0:.0f}s"
         )
         print(json.dumps(result))
     except (OSError, ValueError, KeyError):

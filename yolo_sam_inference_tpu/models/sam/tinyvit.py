@@ -195,8 +195,10 @@ def tinyvit_encoder(params: Params, pixel_values: jnp.ndarray, cfg: TinyViTConfi
     the plain jnp formulation below stays the CPU/test reference —
     interpret-mode equality is enforced by tests/test_tinyvit.py.
     """
+    from ...ops import mosaic_backend
+
     p = params
-    fused = jax.default_backend() != "cpu"
+    fused = mosaic_backend()
     # patch embed: Conv2d_BN + GELU + Conv2d_BN (no activation after the
     # second conv — tiny_vit_sam.py PatchEmbed.seq)
     x = _gelu(_conv_bn(p["stem1"], pixel_values, stride=2))

@@ -43,19 +43,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _erf_as(x):
-    """Abramowitz-Stegun 7.1.26 erf (fp32, |err| <= 1.5e-7)."""
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (
-        0.254829592
-        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
-    )
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+from .fused_ln import _erf_as
 
 
 def _gelu_f32(x):
+    """erf-GELU via the shared Abramowitz-Stegun polynomial (fused_ln)."""
     return x * 0.5 * (1.0 + _erf_as(x * (2.0 ** -0.5)))
 
 
@@ -134,7 +126,9 @@ def mbconv_block(
     """
     b, hgt, wid, c = x.shape
     e = w1.shape[1]
-    interpret = interpret or jax.default_backend() == "cpu"
+    from . import mosaic_backend
+
+    interpret = interpret or not mosaic_backend()
 
     # width padding: +1 zero column left (dw 'same'), right padded so the
     # total is a sublane multiple (Mosaic rejects shape casts whose merged

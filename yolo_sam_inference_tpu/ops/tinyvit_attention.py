@@ -50,6 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _ln_rows(y, scale, bias, eps):
+    """LayerNorm rows with the scale/bias applied IN fp32 before the final
+    cast — deliberately different from ops/fused_ln.py::_ln_rows, which
+    casts to the activation dtype first (that variant's scale/bias arrive
+    pre-cast to x.dtype; here they stay fp32 to match the plain-path
+    TinyViT numerics the parity test pins)."""
     yf = y.astype(jnp.float32)
     mean = jnp.mean(yf, axis=-1, keepdims=True)
     d = yf - mean
@@ -164,7 +169,9 @@ def tinyvit_window_block(
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     hp, wp_cols = hgt + pad_h, wid + pad_w
     nh, nw = hp // ws, wp_cols // ws
-    interpret = interpret or jax.default_backend() == "cpu"
+    from . import mosaic_backend
+
+    interpret = interpret or not mosaic_backend()
 
     t = ws * ws
     tp = (t + 7) // 8 * 8  # sublane-align the token axis

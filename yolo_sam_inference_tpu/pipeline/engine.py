@@ -607,7 +607,9 @@ class CellSegmentationPipeline:
     def process_batch_arrays(
         self, images: np.ndarray, timings: Optional[Dict[str, float]] = None
     ) -> Dict[str, np.ndarray]:
-        """Run the stage-jitted pipeline on a uint8 batch (B, H, W, 3).
+        """Run the stage-jitted pipeline on a uint8 batch — (B, H, W, 3)
+        RGB or (B, H, W) grayscale (the loader collapses replicated-RGB
+        sources; the device re-broadcasts for free).
 
         Returns host arrays: boxes (B, K, 4), scores, valid, mask_crops
         (B, K, cm, cm), offsets (B, K, 2), metrics {key: (B, K)}. When
@@ -855,9 +857,9 @@ class CellSegmentationPipeline:
         pending: List[Tuple[Any, Any, List[Path], int, Dict[str, float]]] = []
         sampled: Dict[str, float] = {}
 
-        def run_batch(bi, batch_imgs, batch_paths, n_valid, load_s):
+        def run_batch(timed, batch_imgs, batch_paths, n_valid, load_s):
             timings: Dict[str, float] = {"image_load": load_s}
-            if few or bi % 16 == 0:
+            if timed:
                 out = self.process_batch_arrays(batch_imgs, timings)
                 sampled.clear()
                 sampled.update(
@@ -928,8 +930,16 @@ class CellSegmentationPipeline:
                 )
 
         for bi, (batch_imgs, batch_paths, n_valid, load_s) in enumerate(batches):
+            timed = few or bi % 16 == 0
+            if timed:
+                # drain in-flight async batches first: their un-fetched
+                # device work would otherwise be absorbed into the sample
+                # batch's first timed stage and skew 15 batches of rows
+                while pending:
+                    finish(*pending.pop(0))
             pending.append(
-                (run_batch(bi, batch_imgs, batch_paths, n_valid, load_s), batch_imgs)
+                (run_batch(timed, batch_imgs, batch_paths, n_valid, load_s),
+                 batch_imgs)
             )
             if len(pending) > 1:
                 finish(*pending.pop(0))

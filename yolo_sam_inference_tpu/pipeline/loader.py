@@ -29,11 +29,15 @@ def batched_image_loader(
     num_workers: Optional[int] = None,
     skipped_report: "Optional[Path]" = None,
 ) -> Iterator[Tuple[np.ndarray, List[Path], int, float]]:
-    """Yield (batch (B, H, W, 3) uint8, paths, n_valid, load_seconds).
+    """Yield (batch uint8, paths, n_valid, load_seconds); the batch is
+    (B, H, W, 3) for true-RGB sources or (B, H, W) for replicated-RGB
+    grayscale sources (collapsed at decode — see ``_safe_load``; the
+    engine's device paths accept both ranks).
 
-    Images are decoded concurrently and grouped by (H, W) so every yielded
-    batch has a uniform static shape; the final partial batch of each group
-    is padded by repeating its first image (n_valid marks the real count).
+    Images are decoded concurrently and grouped by their decoded shape so
+    every yielded batch has a uniform static shape; the final partial batch
+    of each group is padded by repeating its first image (n_valid marks the
+    real count).
     Corrupt/zero-byte images are skipped and, when ``skipped_report`` is
     given, audited to a ``skipped_images.txt`` file (the reference's
     validation behavior, ``examples/mlflow_example_project_inference.py:178-234``).
