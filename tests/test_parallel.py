@@ -149,6 +149,46 @@ def test_data_parallel_inference_matches_single_device(_tiny_setup):
     assert out_m["boxes"].shape[0] == 6  # padding rows sliced off
 
 
+def test_data_parallel_process_directory(_tiny_setup, tmp_path):
+    """process_directory under a dp mesh: the async fused dispatches shard
+    over devices and the per-cell results equal the single-device run
+    (enough files that batches after the timed sample take the async
+    path)."""
+    from pathlib import Path
+
+    from PIL import Image
+
+    from synth import make_cell_image
+    from yolo_sam_inference_tpu.pipeline.engine import CellSegmentationPipeline
+
+    scfg, ycfg, opts = _tiny_setup
+    rng = np.random.default_rng(11)
+    in_dir = tmp_path / "dp_dir"
+    in_dir.mkdir()
+    for i in range(10):  # 3 batches of 4 -> batch 0 timed, 1-2 async fused
+        Image.fromarray(make_cell_image(rng)).save(in_dir / f"f_{i}.png")
+
+    single = CellSegmentationPipeline(sam_config=scfg, yolo_config=ycfg,
+                                      options=opts, seed=0)
+    sharded = CellSegmentationPipeline(sam_config=scfg, yolo_config=ycfg,
+                                       options=opts, seed=0,
+                                       mesh=make_mesh(dp=4, tp=2))
+    out_s = single.process_directory(in_dir, tmp_path / "o1", progress=False)
+    out_m = sharded.process_directory(in_dir, tmp_path / "o2", progress=False)
+
+    assert len(out_m.results) == len(out_s.results) == 10
+    rows_s = {(Path(r.image_path).name, i): m
+              for r in out_s.results for i, m in enumerate(r.cell_metrics)}
+    rows_m = {(Path(r.image_path).name, i): m
+              for r in out_m.results for i, m in enumerate(r.cell_metrics)}
+    assert rows_s.keys() == rows_m.keys()
+    for key, row in rows_s.items():
+        for metric in ("area", "deformability", "perimeter"):
+            assert row[metric] == pytest.approx(
+                rows_m[key][metric], rel=1e-4, abs=1e-4
+            )
+
+
 def test_data_parallel_inference_actually_sharded(_tiny_setup):
     """The sharded pipeline's batch really lands on all dp devices."""
     from yolo_sam_inference_tpu.pipeline.engine import CellSegmentationPipeline
