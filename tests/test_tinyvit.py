@@ -73,6 +73,54 @@ def test_fused_block_matches_plain():
         )
 
 
+def test_fused_block_pack2_rectangular():
+    """pack=2 window packing (nwin = 2 x odd) + a rectangular, non-padding
+    grid — geometry not hit by the square stage cases above."""
+    from yolo_sam_inference_tpu.models.sam.tinyvit import _offset_index
+    from yolo_sam_inference_tpu.ops.tinyvit_attention import (
+        _pick_nwin,
+        tinyvit_window_block,
+    )
+
+    c, heads, ws = 128, 4, 7
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 14, 21, c)), jnp.float32)  # 2x3 windows
+    n, tp = 6, 56
+    assert _pick_nwin(n, tp, heads) == 6  # -> pack=2 in the wrapper
+    bias = jnp.asarray(
+        rng.normal(0, 0.5, (heads, (2 * ws - 1) ** 2)), jnp.float32
+    )[:, _offset_index(ws)]
+    args = [
+        jnp.asarray(rng.normal(0, 0.1, s), jnp.float32)
+        for s in [(c,), (c,), (c, 3 * c), (3 * c,), (c, c), (c,)]
+    ]
+    fused = tinyvit_window_block(x, bias, *args, heads, ws, interpret=True)
+
+    # plain-path oracle: the reference window-attention math spelled out
+    # with the pre-expanded bias (the module's _window_attention expands
+    # from the offset table itself, so it can't take this bias directly)
+    win = x.reshape(1, 2, ws, 3, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    win = win.reshape(6, ws * ws, c)
+    xf = win.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, -1, keepdims=True)
+    win_n = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * args[0] + args[1]
+    qkv = win_n @ args[2] + args[3]
+    hd = c // heads
+    qkv = qkv.reshape(6, ws * ws, 3, heads, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    logits = jnp.einsum("nhqc,nhkc->nhqk", q * (hd ** -0.5), k) + bias[None]
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("nhqk,nhkc->nhqc", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(6, ws * ws, c) @ args[4] + args[5]
+    out = out.reshape(1, 2, 3, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    plain = x + out.reshape(1, 14, 21, c)
+
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(plain), atol=3e-5, rtol=1e-4
+    )
+
+
 def test_fused_mbconv_matches_plain():
     """The Pallas MBConv kernel (interpret mode) must match the plain conv
     formulation, including the zero-padded-expanded-tensor edge semantics
