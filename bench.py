@@ -67,8 +67,13 @@ def _run_bench() -> None:
     # BASELINE.json configs: facebook/sam-vit-base (default), mobile-sam
     # (latency swap), facebook/sam-vit-large (multi-box), facebook/sam-vit-huge
     sam_model = os.environ.get("BENCH_SAM", "facebook/sam-vit-base")
+    # BENCH_QUANT=int8: dynamic w8a8 SAM-encoder projections (2x MXU rate;
+    # the ViT-L/H lever — see ops/quant.py). Default: exact bf16.
+    quant = os.environ.get("BENCH_QUANT", "none")
 
-    opts = PipelineOptions(batch_size=batch, max_det=max_det, metric_crop=128)
+    opts = PipelineOptions(
+        batch_size=batch, max_det=max_det, metric_crop=128, quant=quant
+    )
     pipe = CellSegmentationPipeline(sam_model_type=sam_model, options=opts)
 
     rng = np.random.default_rng(0)
@@ -149,6 +154,8 @@ def _run_bench() -> None:
     ips = batch * chunk * iters / dt if chunk > 1 else batch * iters / dt
     label = {"facebook/sam-vit-base": "SAM-ViT-B", "facebook/sam-vit-large": "SAM-ViT-L",
              "facebook/sam-vit-huge": "SAM-ViT-H", "mobile-sam": "MobileSAM"}.get(sam_model, sam_model)
+    if quant != "none":
+        label += f"-{quant}"
     result = {
         "metric": f"end-to-end images/sec/chip (YOLOv8n+{label}+metrics, {size}x{size})",
         "value": round(ips, 2),
@@ -166,7 +173,7 @@ def _run_bench() -> None:
     # default driver config — env-tweaked runs measure something else)
     if not any(os.environ.get(k) for k in
                ("BENCH_SAM", "BENCH_SIZE", "BENCH_E2E", "BENCH_MAX_DET",
-                "BENCH_BATCH", "BENCH_ITERS", "BENCH_CHUNK")):
+                "BENCH_BATCH", "BENCH_ITERS", "BENCH_CHUNK", "BENCH_QUANT")):
         try:
             with open(_LAST_GOOD, "w") as f:
                 f.write(json.dumps({"saved_at": time.strftime("%Y-%m-%d %H:%M:%S"),

@@ -1,0 +1,145 @@
+"""Tests for the dynamic-int8 (w8a8) SAM encoder path (ops/quant.py).
+
+The quantized path is an opt-in TPU throughput lever for ViT-L/H
+(``PipelineOptions.quant='int8'``); these tests pin its numerics on CPU:
+per-op error bounds, param-tree surgery, full-encoder drift, and
+end-to-end mask agreement against the exact float pipeline.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolo_sam_inference_tpu.models.sam import sam_tiny_test
+from yolo_sam_inference_tpu.models.sam.model import (
+    init_sam_params,
+    sam_forward_boxes,
+    sam_image_encoder,
+)
+from yolo_sam_inference_tpu.models.yolo import YoloConfig
+from yolo_sam_inference_tpu.ops.quant import (
+    int8_linear,
+    quantize_linear_params,
+    quantize_sam_encoder_params,
+    quantize_weight,
+)
+from yolo_sam_inference_tpu.pipeline.engine import (
+    CellSegmentationPipeline,
+    PipelineOptions,
+)
+
+from synth import make_cell_image
+
+
+def test_quantize_weight_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(256, 512)).astype(np.float32))
+    wq, scale = quantize_weight(w)
+    assert wq.dtype == jnp.int8 and scale.shape == (512,)
+    deq = wq.astype(jnp.float32) * scale[None, :]
+    # symmetric rounding: per-element error bounded by half a quant step
+    step = np.asarray(scale)[None, :]
+    assert (np.abs(np.asarray(deq - w)) <= 0.5 * step + 1e-7).all()
+
+
+def test_quantize_weight_zero_column():
+    w = jnp.zeros((8, 4), jnp.float32)
+    wq, scale = quantize_weight(w)
+    assert (np.asarray(wq) == 0).all()
+    assert (np.asarray(scale) == 1.0).all()
+    out = int8_linear(jnp.ones((3, 8)), wq, scale, jnp.zeros((4,)))
+    assert (np.asarray(out) == 0).all()
+
+
+def test_int8_linear_matches_float_linear():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(64, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 512)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(512,)).astype(np.float32))
+    p = quantize_linear_params({"w": w, "b": b})
+    got = np.asarray(int8_linear(x, p["wq"], p["wscale"], b))
+    want = np.asarray(x @ w + b)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want - np.asarray(b))
+    assert rel < 0.02, rel
+
+
+def test_int8_linear_leading_dims_and_dtype():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 32)).astype(np.float32))
+    p = quantize_linear_params(
+        {"w": jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32)),
+         "b": jnp.zeros((16,))}
+    )
+    out = int8_linear(x.astype(jnp.bfloat16), p["wq"], p["wscale"], p["b"])
+    assert out.shape == (2, 4, 4, 16)
+    assert out.dtype == jnp.bfloat16
+
+
+def test_quantize_sam_encoder_params_tree_surgery():
+    cfg = sam_tiny_test()
+    params = init_sam_params(jax.random.PRNGKey(0), cfg)
+    q = quantize_sam_encoder_params(params)
+    for lp, lq in zip(params["vision"]["layers"], q["vision"]["layers"]):
+        for rec in (lq["attn"]["qkv"], lq["mlp1"], lq["mlp2"]):
+            assert "wq" in rec and "wscale" in rec and "w" not in rec
+        # the output projection rides inside the flash kernel — stays float
+        assert "w" in lq["attn"]["proj"] and "wq" not in lq["attn"]["proj"]
+        # the source tree is untouched
+        assert "w" in lp["attn"]["qkv"] and "wq" not in lp["attn"]["qkv"]
+    # decoder / prompt encoder / neck untouched
+    assert q["decoder"] is params["decoder"]
+    assert q["prompt"] is params["prompt"]
+    # TinyViT trees (no "vision" subtree) pass through unchanged
+    tiny = {"tinyvit": {"x": jnp.zeros((2,))}}
+    assert quantize_sam_encoder_params(tiny) is tiny
+
+
+def test_encoder_int8_drift_bounded():
+    """Full tiny ViT encoder: int8 embeddings stay close to fp32."""
+    cfg = sam_tiny_test()
+    params = init_sam_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    pix = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    ref = np.asarray(sam_image_encoder(params, pix, cfg))
+    got = np.asarray(sam_image_encoder(quantize_sam_encoder_params(params), pix, cfg))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, rel
+
+
+def test_pipeline_quant_masks_match_float():
+    """End-to-end: quant='int8' pipeline masks agree with the exact float
+    run (same seed => same weights; only the encoder numerics differ)."""
+    kw = dict(
+        sam_config=sam_tiny_test(),
+        yolo_config=YoloConfig(num_classes=1),
+    )
+    opts = dict(batch_size=2, max_det=8, metric_crop=48, yolo_size=64,
+                nms_candidates=64, compute_dtype=jnp.float32)
+    pipe_f = CellSegmentationPipeline(options=PipelineOptions(**opts), **kw)
+    pipe_q = CellSegmentationPipeline(
+        options=PipelineOptions(quant="int8", **opts), **kw
+    )
+    rng = np.random.default_rng(7)
+    imgs = np.stack([make_cell_image(rng) for _ in range(2)])
+    out_f = pipe_f.process_batch_arrays(imgs)
+    out_q = pipe_q.process_batch_arrays(imgs)
+    both = np.asarray(out_f["valid"]) & np.asarray(out_q["valid"])
+    assert both.any()  # tiny random model still detects the synthetic cells
+    mf = np.asarray(out_f["mask_crops"])[both]
+    mq = np.asarray(out_q["mask_crops"])[both]
+    inter = (mf & mq).sum(axis=(-2, -1))
+    union = (mf | mq).sum(axis=(-2, -1))
+    iou = inter / np.maximum(union, 1)
+    assert (iou >= 0.95).all(), iou
+    # deformability (the scientific headline metric) stays tight
+    df = np.asarray(out_f["metrics"]["deformability"])[both]
+    dq = np.asarray(out_q["metrics"]["deformability"])[both]
+    assert np.max(np.abs(df - dq)) < 0.02
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-v"]))

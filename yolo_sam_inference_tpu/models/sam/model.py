@@ -142,18 +142,23 @@ def _vision_attention_grid(
     concats that dominated the r1 profile's copy bucket.
     """
     from ...ops.flash_attention import flash_attention_grid
+    from ...ops.quant import apply_linear, is_quantized
 
     b, s, _, c = x.shape
     hd = c // heads
-    if ln is not None:
+    if ln is not None and not is_quantized(p["qkv"]):
         # LN1 fused into the qkv projection (one HBM pass for both)
         from ...ops.fused_ln import fused_ln_matmul
 
         qkv = fused_ln_matmul(
             x, ln["scale"], ln["bias"], p["qkv"]["w"], p["qkv"]["b"], eps=eps
         )
+    elif ln is not None:
+        # int8 qkv (PipelineOptions.quant): LN stays a separate pass, the
+        # 3C^2 projection runs on the MXU int8 path (ops/quant.py)
+        qkv = apply_linear(p["qkv"], _layer_norm(ln, x, eps))
     else:
-        qkv = _linear(p["qkv"], x)  # (B, S, S, 3C)
+        qkv = apply_linear(p["qkv"], x)  # (B, S, S, 3C)
 
     # score-table VMEM budget: the Pallas table builder holds a (w, s, C) q
     # block + (w, s*heads, 2w-1) fp32 contraction in VMEM — fine for w <= 32
@@ -194,9 +199,11 @@ def _vision_attention(
     p: Params, x: jnp.ndarray, heads: int, use_rel_pos: bool
 ) -> jnp.ndarray:
     """Windowed/global ViT attention. x: (B, S, S, C) square token grid."""
+    from ...ops.quant import apply_linear
+
     b, s, _, c = x.shape
     hd = c // heads
-    qkv = _linear(p["qkv"], x.reshape(b, s * s, c))  # (B, N, 3C)
+    qkv = apply_linear(p["qkv"], x.reshape(b, s * s, c))  # (B, N, 3C)
     qkv = qkv.reshape(b, s * s, 3, heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, hd)
 
@@ -298,11 +305,17 @@ def sam_image_encoder(
         and cfg.vision_hidden % 128 == 0
         and s % ws == 0
     )
+    from ...ops.quant import apply_linear, is_quantized
+
+    quantized = cfg.vision_layers > 0 and is_quantized(p["layers"][0]["mlp1"])
     if use_grid_attn:
         # fused block tail (add+LN+MLP in one kernel) needs both MLP weight
         # matrices resident in VMEM: ViT-B (768x3072 bf16 x2 = 9 MB) yes,
-        # ViT-L/H no — they fall back to the unfused tail
-        fuse_tail = cfg.vision_hidden * cfg.vision_mlp_dim <= 2_400_000
+        # ViT-L/H no — they fall back to the unfused tail. int8-quantized
+        # MLPs (the ViT-L/H lever) always take the unfused int8 path.
+        fuse_tail = (
+            not quantized and cfg.vision_hidden * cfg.vision_mlp_dim <= 2_400_000
+        )
         pending = None
         for i in range(cfg.vision_layers):
             lp = p["layers"][i]
@@ -326,9 +339,9 @@ def sam_image_encoder(
                 )
             else:
                 x, h = _add_layer_norm(lp["ln2"], x, h, cfg.layer_norm_eps)
-                h = _linear(lp["mlp1"], h)
+                h = apply_linear(lp["mlp1"], h)
                 h = _gelu(h)
-                h = _linear(lp["mlp2"], h)
+                h = apply_linear(lp["mlp2"], h)
                 pending = h
         if pending is not None:
             x = x + pending
@@ -367,9 +380,9 @@ def sam_image_encoder(
             win = _vision_attention(lp["attn"], win, cfg.vision_heads, cfg.use_rel_pos)
             h = _window_unpartition(win, ws, padded, s)
         x, h = _add_layer_norm(lp["ln2"], x, h, cfg.layer_norm_eps)
-        h = _linear(lp["mlp1"], h)
+        h = apply_linear(lp["mlp1"], h)
         h = _gelu(h)
-        h = _linear(lp["mlp2"], h)
+        h = apply_linear(lp["mlp2"], h)
         pending = h
     if pending is not None:
         x = x + pending

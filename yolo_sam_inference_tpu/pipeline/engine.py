@@ -126,6 +126,11 @@ class PipelineOptions:
     # resolution-adapted at load time (models/sam/convert.adapt_resolution).
     # Set 1024 to force the reference's fixed canvas.
     sam_encoder_size: Optional[int] = None
+    # "int8" = dynamic w8a8 quantization of the SAM ViT encoder's qkv/MLP
+    # projections (2x MXU rate on TPU; the single-chip lever for ViT-L/H,
+    # whose weights exceed the VMEM-resident kernel budget). Default off:
+    # exact bf16 numerics. See ops/quant.py for the scheme + error bounds.
+    quant: str = "none"
 
     def encoder_size_for(self, h: int, w: int) -> int:
         if self.sam_encoder_size is not None:
@@ -505,6 +510,10 @@ class CellSegmentationPipeline:
             # cast once OUTSIDE jit: per-call f32->bf16 converts of ~90M
             # params showed up as real per-iteration work in the profile
             sam_params = _cast_floating(self._sam_params_for(scfg), opts.compute_dtype)
+            if opts.quant == "int8":
+                from ..ops.quant import quantize_sam_encoder_params
+
+                sam_params = quantize_sam_encoder_params(sam_params)
             yolo_params_c = _cast_floating(self.yolo_params, opts.compute_dtype)
             # s2d backbone prefix: exact-equivalent conv rewrite that keeps
             # the MXU lanes full on the narrow early YOLO stages (TPU only —
