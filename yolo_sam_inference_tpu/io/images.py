@@ -23,8 +23,8 @@ except ImportError:  # pragma: no cover
 IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".tiff", ".tif")
 
 
-def _to_rgb_uint8(arr: np.ndarray) -> np.ndarray:
-    """Normalize any decoded array to RGB uint8 (H, W, 3)."""
+def _to_scaled_uint8(arr: np.ndarray) -> np.ndarray:
+    """Dtype normalization only (no channel-count changes)."""
     if arr.dtype == np.uint16:
         arr = (arr / 257.0).astype(np.uint8)  # 65535 -> 255
     elif arr.dtype == np.bool_:
@@ -33,6 +33,12 @@ def _to_rgb_uint8(arr: np.ndarray) -> np.ndarray:
         amax = float(arr.max()) if arr.size else 1.0
         scale = 255.0 / amax if amax > 0 else 1.0
         arr = np.clip(arr * scale, 0, 255).astype(np.uint8)
+    return arr
+
+
+def _to_rgb_uint8(arr: np.ndarray) -> np.ndarray:
+    """Normalize any decoded array to RGB uint8 (H, W, 3)."""
+    arr = _to_scaled_uint8(arr)
     if arr.ndim == 2:
         arr = np.repeat(arr[..., None], 3, axis=2)
     elif arr.shape[2] == 1:
@@ -42,9 +48,7 @@ def _to_rgb_uint8(arr: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(arr)
 
 
-def load_image(path, grayscale: bool = False) -> np.ndarray:
-    """Load an image file as RGB uint8 (or grayscale uint8 if requested)."""
-    path = Path(path)
+def _decode(path: Path) -> np.ndarray:
     arr: Optional[np.ndarray] = None
     if path.suffix.lower() in (".tif", ".tiff"):
         try:
@@ -56,10 +60,38 @@ def load_image(path, grayscale: bool = False) -> np.ndarray:
             raise RuntimeError("PIL unavailable and file not a supported TIFF")
         with _PILImage.open(path) as im:
             arr = np.asarray(im)
-    rgb = _to_rgb_uint8(arr)
+    return arr
+
+
+def load_image(path, grayscale: bool = False) -> np.ndarray:
+    """Load an image file as RGB uint8 (or grayscale uint8 if requested)."""
+    rgb = _to_rgb_uint8(_decode(Path(path)))
     if grayscale:
         return rgb.mean(axis=2).astype(np.uint8)
     return rgb
+
+
+def load_image_collapsed(path) -> np.ndarray:
+    """Load for the batch loader: (H, W) uint8 when the source is
+    single-channel — stored grayscale OR replicated-RGB — else (H, W, 3).
+
+    ``load_image`` expands grayscale sources to RGB only for the loader to
+    collapse them straight back for the 1-channel host->device transfer
+    (pipeline/loader.py); this skips that expand/collapse round trip (one
+    ``np.repeat`` + two channel compares + a copy per image — the host
+    loader is the measured e2e bottleneck on a single-core host).
+    """
+    arr = _to_scaled_uint8(_decode(Path(path)))
+    if arr.ndim == 2:
+        return np.ascontiguousarray(arr)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        return np.ascontiguousarray(arr[..., 0])
+    if arr.ndim == 3 and arr.shape[2] >= 3:
+        c0 = arr[..., 0]
+        if np.array_equal(c0, arr[..., 1]) and np.array_equal(c0, arr[..., 2]):
+            return np.ascontiguousarray(c0)
+        return np.ascontiguousarray(arr[..., :3])
+    return _to_rgb_uint8(arr)
 
 
 struct_error_types = (ValueError,)  # read_tiff raises ValueError on unsupported input

@@ -676,9 +676,11 @@ class CellSegmentationPipeline:
             "boxes": np.asarray(h["boxes"])[:b],
             "scores": np.asarray(h["scores"])[:b],
             "valid": np.asarray(h["valid"])[:b],
+            # unpackbits yields exact 0/1 bytes, so the bool reinterpret is a
+            # free view — .astype(bool) re-copied the whole 33 MB crop tensor
             "mask_crops": np.unpackbits(np.asarray(h["packed"])[:b], axis=-1)[
                 ..., :cm
-            ].astype(bool),
+            ].view(np.bool_),
             "offsets": np.asarray(h["offsets"])[:b],
             "metrics": {k: np.asarray(v)[:b] for k, v in h["metrics"].items()},
         }

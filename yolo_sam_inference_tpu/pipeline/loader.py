@@ -17,7 +17,7 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..io.images import load_image
+from ..io.images import load_image_collapsed
 from ..utils.logger import setup_logger
 
 logger = setup_logger(__name__)
@@ -103,21 +103,16 @@ def batched_image_loader(
 
 
 def _safe_load(path: Path):
-    try:
-        img = load_image(path)
-    except Exception as e:  # corrupt/zero-byte images are skipped, not fatal
-        logger.warning("Failed to load %s: %s", path, e)
-        return None
-    # collapse replicated-RGB (grayscale microscopy saved as RGB) to one
-    # channel at decode time: batches stack 3x smaller, and the engine's
+    # single-channel sources (stored grayscale OR replicated-RGB microscopy)
+    # decode straight to (H, W): batches stack 3x smaller, and the engine's
     # host->device transfer — the tunneled link's main cost — drops 3x.
     # Shape-grouping keeps collapsed and true-RGB images in separate
     # batches; the device re-broadcasts to RGB for free (_ensure_rgb).
-    if img.ndim == 3 and img.shape[-1] == 3:
-        c0 = img[..., 0]
-        if np.array_equal(c0, img[..., 1]) and np.array_equal(c0, img[..., 2]):
-            return np.ascontiguousarray(c0)
-    return img
+    try:
+        return load_image_collapsed(path)
+    except Exception as e:  # corrupt/zero-byte images are skipped, not fatal
+        logger.warning("Failed to load %s: %s", path, e)
+        return None
 
 
 def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
