@@ -48,13 +48,20 @@ def _to_rgb_uint8(arr: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(arr)
 
 
-def _decode(path: Path) -> np.ndarray:
+def _decode(path: Path, collapse: bool = False) -> np.ndarray:
     arr: Optional[np.ndarray] = None
-    if path.suffix.lower() in (".tif", ".tiff"):
+    suffix = path.suffix.lower()
+    if suffix in (".tif", ".tiff"):
         try:
             arr = read_tiff(path)
         except (ValueError, struct_error_types):
             arr = None
+    elif suffix == ".png":
+        # native zlib decoder for the common 8-bit forms (the loader's
+        # measured bottleneck); None -> unsupported form, PIL below
+        from .png_native import decode_png_file
+
+        arr = decode_png_file(path, collapse=collapse)
     if arr is None:
         if _PILImage is None:
             raise RuntimeError("PIL unavailable and file not a supported TIFF")
@@ -81,7 +88,7 @@ def load_image_collapsed(path) -> np.ndarray:
     ``np.repeat`` + two channel compares + a copy per image — the host
     loader is the measured e2e bottleneck on a single-core host).
     """
-    arr = _to_scaled_uint8(_decode(Path(path)))
+    arr = _to_scaled_uint8(_decode(Path(path), collapse=True))
     if arr.ndim == 2:
         return np.ascontiguousarray(arr)
     if arr.ndim == 3 and arr.shape[2] == 1:
