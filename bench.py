@@ -70,9 +70,16 @@ def _run_bench() -> None:
     # BENCH_QUANT=int8: dynamic w8a8 SAM-encoder projections (2x MXU rate;
     # the ViT-L/H lever — see ops/quant.py). Default: exact bf16.
     quant = os.environ.get("BENCH_QUANT", "none")
+    # TinyViT experiments (MobileSAM config): BENCH_TV_BF16=1 runs the
+    # MBConv kernel's VPU stretch in bf16; BENCH_TV_S2D=1 enables the
+    # exact-equivalent s2d stem rewrite. Both default off until benched.
+    tv_bf16 = os.environ.get("BENCH_TV_BF16") == "1"
+    tv_s2d = os.environ.get("BENCH_TV_S2D") == "1"
 
     opts = PipelineOptions(
-        batch_size=batch, max_det=max_det, metric_crop=128, quant=quant
+        batch_size=batch, max_det=max_det, metric_crop=128, quant=quant,
+        tinyvit_mbconv_compute="bf16" if tv_bf16 else "fp32",
+        tinyvit_stem_s2d=tv_s2d,
     )
     pipe = CellSegmentationPipeline(sam_model_type=sam_model, options=opts)
 
@@ -156,6 +163,10 @@ def _run_bench() -> None:
              "facebook/sam-vit-huge": "SAM-ViT-H", "mobile-sam": "MobileSAM"}.get(sam_model, sam_model)
     if quant != "none":
         label += f"-{quant}"
+    if tv_bf16:
+        label += "-tvbf16"
+    if tv_s2d:
+        label += "-tvs2d"
     result = {
         "metric": f"end-to-end images/sec/chip (YOLOv8n+{label}+metrics, {size}x{size})",
         "value": round(ips, 2),
@@ -173,7 +184,8 @@ def _run_bench() -> None:
     # default driver config — env-tweaked runs measure something else)
     if not any(os.environ.get(k) for k in
                ("BENCH_SAM", "BENCH_SIZE", "BENCH_E2E", "BENCH_MAX_DET",
-                "BENCH_BATCH", "BENCH_ITERS", "BENCH_CHUNK", "BENCH_QUANT")):
+                "BENCH_BATCH", "BENCH_ITERS", "BENCH_CHUNK", "BENCH_QUANT",
+                "BENCH_TV_BF16", "BENCH_TV_S2D")):
         try:
             with open(_LAST_GOOD, "w") as f:
                 f.write(json.dumps({"saved_at": time.strftime("%Y-%m-%d %H:%M:%S"),

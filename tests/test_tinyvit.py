@@ -142,6 +142,58 @@ def test_fused_mbconv_matches_plain():
     )
 
 
+def test_mbconv_bf16_compute_bound():
+    """Opt-in bf16 MBConv compute (engine tinyvit_mbconv_compute="bf16"):
+    the VPU stretch (GELUs + 9-tap depthwise chain) runs in bf16. Bound the
+    numerics vs the fp32 plain path on the same bf16 inputs — production
+    activations are bf16 either way, so this isolates the compute-dtype
+    error (must stay well under the decoder's logit scale)."""
+    from yolo_sam_inference_tpu.models.sam.tinyvit import _mbconv
+
+    cfg = TinyViTConfig()
+    params = init_tinyvit_params(3, cfg)
+    p = params["stage0"][0]
+    rng = np.random.default_rng(7)
+    for key in ("conv1", "conv2", "conv3"):
+        p[key]["b"] = jnp.asarray(rng.normal(0, 0.3, p[key]["b"].shape), jnp.float32)
+    x8 = jnp.asarray(
+        rng.normal(size=(2, 16, 16, cfg.embed_dims[0])), jnp.float32
+    ).astype(jnp.bfloat16)
+    ref = np.asarray(_mbconv(p, x8.astype(jnp.float32)))
+    got = np.asarray(
+        _mbconv(p, x8, fused=True, interpret=True, compute="bf16")
+    ).astype(np.float32)
+    err = np.abs(got - ref)
+    scale = np.abs(ref).max()
+    assert err.max() <= 0.08 * scale, (err.max(), scale)
+    assert err.mean() <= 0.01 * scale, (err.mean(), scale)
+
+
+def test_stem_s2d_exact():
+    """The s2d patch-embed rewrite computes exactly the stems' function
+    (same transform family as models/yolo/s2d — parity must be tight)."""
+    from yolo_sam_inference_tpu.models.sam.tinyvit import (
+        _conv_bn,
+        _gelu,
+        _stems_s2d,
+        transform_stem_s2d,
+    )
+
+    cfg = TinyViTConfig()
+    params = init_tinyvit_params(11, cfg)
+    rng = np.random.default_rng(12)
+    for key in ("stem1", "stem2"):
+        params[key]["b"] = jnp.asarray(
+            rng.normal(0, 0.3, params[key]["b"].shape), jnp.float32
+        )
+    x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)), jnp.float32)
+    plain = _conv_bn(params["stem2"], _gelu(_conv_bn(params["stem1"], x, stride=2)), stride=2)
+    s2d = _stems_s2d(transform_stem_s2d(params), x)
+    np.testing.assert_allclose(
+        np.asarray(s2d), np.asarray(plain), atol=2e-5, rtol=1e-5
+    )
+
+
 def test_mobile_sam_engine_integration():
     from yolo_sam_inference_tpu.models.sam import sam_tiny_test
     from yolo_sam_inference_tpu.models.yolo import YoloConfig

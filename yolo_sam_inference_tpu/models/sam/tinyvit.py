@@ -73,7 +73,8 @@ def _conv_bn(p: Params, x: jnp.ndarray, stride: int = 1, groups: int = 1) -> jnp
 
 
 def _mbconv(
-    p: Params, x: jnp.ndarray, fused: bool = False, interpret: bool = False
+    p: Params, x: jnp.ndarray, fused: bool = False, interpret: bool = False,
+    compute: str = "fp32",
 ) -> jnp.ndarray:
     if fused and x.shape[2] % 8 == 0:
         from ...ops.mbconv_fused import mbconv_block
@@ -84,6 +85,7 @@ def _mbconv(
             p["conv2"]["w"], p["conv2"]["b"],
             p["conv3"]["w"][0, 0], p["conv3"]["b"],
             interpret=interpret,
+            compute=compute,
         )
     h = _gelu(_conv_bn(p["conv1"], x))
     h = _gelu(_conv_bn(p["conv2"], h, groups=h.shape[-1]))
@@ -187,7 +189,38 @@ def _tinyvit_block(
     return x + h
 
 
-def tinyvit_encoder(params: Params, pixel_values: jnp.ndarray, cfg: TinyViTConfig) -> jnp.ndarray:
+def transform_stem_s2d(params: Params) -> Params:
+    """s2d block weights for the two narrow patch-embed stems.
+
+    The stems are 3->32 and 32->64 stride-2 convs over the full-res frame;
+    the MXU contracts 128-deep lanes, so they run at <25% lane utilization
+    (the same pathology the YOLO backbone prefix had — see models/yolo/s2d).
+    The transformed convs compute EXACTLY the same function on (S/2, 4C)
+    tensors. Call once at stage-build time; store as params["stem_s2d"].
+    """
+    from ..yolo.s2d import _s2d_conv_params
+
+    return {
+        "stem1": _s2d_conv_params(params["stem1"], 2),
+        "stem2": _s2d_conv_params(params["stem2"], 2),
+    }
+
+
+def _stems_s2d(p: Params, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    """Patch embed in s2d space: (B, S, S, 3) -> (B, S/4, S/4, d0)."""
+    from ..yolo.s2d import _conv_s2d, depth_to_space, space_to_depth
+
+    x = space_to_depth(pixel_values)  # (S/2, 12)
+    x = _conv_s2d(p["stem1"], x, k=3, stride=2, act=False)  # (S/4, 4*(d0/2))
+    x = _gelu(x)
+    x = _conv_s2d(p["stem2"], x, k=3, stride=2, act=False)  # (S/8, 4*d0)
+    return depth_to_space(x)  # (S/4, d0)
+
+
+def tinyvit_encoder(
+    params: Params, pixel_values: jnp.ndarray, cfg: TinyViTConfig,
+    mbconv_compute: str = "fp32",
+) -> jnp.ndarray:
     """(B, S, S, 3) normalized -> (B, S/16, S/16, output_channels).
 
     On TPU the transformer stages run as fused Pallas passes
@@ -199,14 +232,17 @@ def tinyvit_encoder(params: Params, pixel_values: jnp.ndarray, cfg: TinyViTConfi
 
     p = params
     fused = mosaic_backend()
-    # patch embed: Conv2d_BN + GELU + Conv2d_BN (no activation after the
-    # second conv — tiny_vit_sam.py PatchEmbed.seq)
-    x = _gelu(_conv_bn(p["stem1"], pixel_values, stride=2))
-    x = _conv_bn(p["stem2"], x, stride=2)  # /4
+    if "stem_s2d" in p and pixel_values.shape[1] % 8 == 0:
+        x = _stems_s2d(p["stem_s2d"], pixel_values)  # /4, exact-equivalent
+    else:
+        # patch embed: Conv2d_BN + GELU + Conv2d_BN (no activation after the
+        # second conv — tiny_vit_sam.py PatchEmbed.seq)
+        x = _gelu(_conv_bn(p["stem1"], pixel_values, stride=2))
+        x = _conv_bn(p["stem2"], x, stride=2)  # /4
 
     # stage 0: MBConv
     for bp in p["stage0"]:
-        x = _mbconv(bp, x, fused=fused)
+        x = _mbconv(bp, x, fused=fused, compute=mbconv_compute)
     x = _patch_merge(p["merge0"], x, stride=2)  # /8
 
     for si in (1, 2, 3):

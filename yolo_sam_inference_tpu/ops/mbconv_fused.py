@@ -54,11 +54,16 @@ def _gelu_f32(x):
 def _mbconv_kernel(
     xc_ref, xt_ref, xb_ref, w1_ref, b1_ref, wd_ref, bd_ref, w3_ref, b3_ref,
     o_ref,
-    *, h: int, nh: int, w: int,
+    *, h: int, nh: int, w: int, compute_bf16: bool,
 ):
     wp = xc_ref.shape[2]  # W padded +1 left and to a sublane multiple right
     c = xc_ref.shape[3]
     e = w1_ref.shape[1]
+    # compute_bf16: run the VPU-bound stretch (GELUs + the 9-tap depthwise
+    # FMA chain) in the activation dtype instead of fp32 — packed-bf16 VPU
+    # issue is 2x the fp32 rate. Opt-in; error bound tested in
+    # tests/test_tinyvit.py::test_mbconv_bf16_compute_bound.
+    cdt = xc_ref.dtype if compute_bf16 else jnp.float32
 
     xc = xc_ref[0]  # (h, Wp, C) center strip
     xt = xt_ref[0]  # (1, Wp, C) row above
@@ -73,7 +78,7 @@ def _mbconv_kernel(
         )
         + b1_ref[...]
     )
-    h1 = _gelu_f32(h1).astype(xc.dtype).reshape(h + 2, wp, e)
+    h1 = _gelu_f32(h1.astype(cdt)).astype(xc.dtype).reshape(h + 2, wp, e)
 
     # zero the expanded halo where the INPUT was spatial zero-padding: the
     # reference pads the expanded tensor with zeros, but conv1's bias makes
@@ -87,12 +92,12 @@ def _mbconv_kernel(
     h1 = jnp.where(col_ok & row_ok, h1, jnp.zeros((), h1.dtype))
 
     # depthwise 3x3: 9 shifted VPU FMAs on the VMEM-resident strip
-    acc = jnp.broadcast_to(bd_ref[...].reshape(1, 1, e), (h, w, e)).astype(jnp.float32)
+    acc = jnp.broadcast_to(bd_ref[...].reshape(1, 1, e), (h, w, e)).astype(cdt)
     for dy in range(3):
         for dx in range(3):
             acc = acc + (
-                h1[dy : dy + h, dx : dx + w, :].astype(jnp.float32)
-                * wd_ref[dy, dx]
+                h1[dy : dy + h, dx : dx + w, :].astype(cdt)
+                * wd_ref[dy, dx].astype(cdt)
             )
     h2 = _gelu_f32(acc).astype(xc.dtype)
 
@@ -106,23 +111,26 @@ def _mbconv_kernel(
     )
     res = xc[:, 1 : 1 + w, :].reshape(h * w, c).astype(jnp.float32)
     o_ref[0] = (
-        _gelu_f32(res + out).astype(xc.dtype).reshape(h, w, c)
+        _gelu_f32((res + out).astype(cdt)).astype(xc.dtype).reshape(h, w, c)
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "compute"))
 def mbconv_block(
     x: jnp.ndarray,
     w1: jnp.ndarray, b1: jnp.ndarray,
     wd: jnp.ndarray, bd: jnp.ndarray,
     w3: jnp.ndarray, b3: jnp.ndarray,
     interpret: bool = False,
+    compute: str = "fp32",
 ) -> jnp.ndarray:
     """x (B, H, W, C) -> gelu(x + conv3(gelu(dw3x3(gelu(conv1(x)))))).
 
     w1 (C, E) 1x1 expand, wd (3, 3, 1, E) depthwise HWIO, w3 (E, C) 1x1
     project; all biases pre-folded BN. W must be a multiple of 8
     (sublane-aligned flatten) — TinyViT stage 0 runs at S/4 = 128/256.
+    compute="bf16" runs the VPU-bound GELU/depthwise stretch in the
+    activation dtype (opt-in 2x VPU-rate path; matmuls stay fp32-accum).
     """
     b, hgt, wid, c = x.shape
     e = w1.shape[1]
@@ -144,7 +152,10 @@ def mbconv_block(
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wid - 1), (0, 0)))
 
-    kernel = functools.partial(_mbconv_kernel, h=h, nh=nh, w=wid)
+    kernel = functools.partial(
+        _mbconv_kernel, h=h, nh=nh, w=wid,
+        compute_bf16=(compute == "bf16" and x.dtype == jnp.bfloat16),
+    )
     out = pl.pallas_call(
         kernel,
         grid=(b, nh),

@@ -131,6 +131,15 @@ class PipelineOptions:
     # whose weights exceed the VMEM-resident kernel budget). Default off:
     # exact bf16 numerics. See ops/quant.py for the scheme + error bounds.
     quant: str = "none"
+    # TinyViT (MobileSAM) opt-in perf experiments (device measurement
+    # pending — gated off by default until benched):
+    # "bf16" runs the MBConv kernel's VPU-bound GELU/depthwise stretch in
+    # the activation dtype (packed-bf16 VPU issue is 2x the fp32 rate);
+    # error bound tested in tests/test_tinyvit.py.
+    tinyvit_mbconv_compute: str = "fp32"
+    # exact-equivalent s2d rewrite of the two narrow patch-embed stems
+    # (same transform as the YOLO backbone prefix, models/yolo/s2d.py)
+    tinyvit_stem_s2d: bool = False
 
     def encoder_size_for(self, h: int, w: int) -> int:
         if self.sam_encoder_size is not None:
@@ -233,7 +242,10 @@ def embed_stage(
         tcfg = TinyViTConfig(
             image_size=scfg.image_size, output_channels=scfg.output_channels
         )
-        emb = tinyvit_encoder(sam_params["tinyvit"], pix, tcfg)
+        emb = tinyvit_encoder(
+            sam_params["tinyvit"], pix, tcfg,
+            mbconv_compute=opts.tinyvit_mbconv_compute,
+        )
     else:
         emb = sam_image_encoder({"vision": sam_params["vision"]}, pix, scfg)
     return emb.astype(jnp.float32)
@@ -514,6 +526,16 @@ class CellSegmentationPipeline:
                 from ..ops.quant import quantize_sam_encoder_params
 
                 sam_params = quantize_sam_encoder_params(sam_params)
+            if opts.tinyvit_stem_s2d and "tinyvit" in sam_params:
+                from ..models.sam.tinyvit import transform_stem_s2d
+
+                sam_params = dict(sam_params)
+                sam_params["tinyvit"] = dict(sam_params["tinyvit"])
+                # transform from the ORIGINAL fp32 weights, then cast
+                sam_params["tinyvit"]["stem_s2d"] = _cast_floating(
+                    transform_stem_s2d(self.sam_params["tinyvit"]),
+                    opts.compute_dtype,
+                )
             yolo_params_c = _cast_floating(self.yolo_params, opts.compute_dtype)
             # s2d backbone prefix: exact-equivalent conv rewrite that keeps
             # the MXU lanes full on the narrow early YOLO stages (TPU only —
