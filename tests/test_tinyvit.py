@@ -142,6 +142,68 @@ def test_fused_mbconv_matches_plain():
     )
 
 
+def test_fused_patch_merge_matches_plain():
+    """The Pallas stride-2 patch-merge kernel (interpret mode) must match
+    the plain conv formulation: q-major s2d quadrant decomposition of the
+    stride-2 depthwise, top/left-only halo, and the gelu(conv1_bias) leak
+    re-masking on the padded columns / first-strip halo row."""
+    from yolo_sam_inference_tpu.models.sam.tinyvit import _patch_merge
+    from yolo_sam_inference_tpu.ops.merge_fused import patch_merge_block
+
+    cfg = TinyViTConfig()
+    params = init_tinyvit_params(5, cfg)
+    p = params["merge0"]
+    rng = np.random.default_rng(6)
+    for key in ("conv1", "conv2", "conv3"):
+        p[key]["b"] = jnp.asarray(rng.normal(0, 0.3, p[key]["b"].shape), jnp.float32)
+    # H/2=16 picks strip height 8 -> 2 strips (multi-strip halo row path);
+    # W/2=16 pads to 24 (right-column re-mask path)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, cfg.embed_dims[0])), jnp.float32)
+    plain = _patch_merge(p, x, stride=2)
+    fused = patch_merge_block(
+        x,
+        p["conv1"]["w"][0, 0], p["conv1"]["b"],
+        p["conv2"]["w"], p["conv2"]["b"],
+        p["conv3"]["w"][0, 0], p["conv3"]["b"],
+        interpret=True,
+    )
+    assert fused.shape == (2, 16, 16, cfg.embed_dims[1])
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(plain), atol=3e-5, rtol=1e-4
+    )
+
+
+def test_fused_patch_merge_bf16_compute_bound():
+    """compute="bf16" patch merge: VPU stretch in bf16, same bound shape as
+    the MBConv variant (vs the fp32 plain path on identical bf16 inputs)."""
+    from yolo_sam_inference_tpu.models.sam.tinyvit import _patch_merge
+    from yolo_sam_inference_tpu.ops.merge_fused import patch_merge_block
+
+    cfg = TinyViTConfig()
+    params = init_tinyvit_params(8, cfg)
+    p = params["merge0"]
+    rng = np.random.default_rng(9)
+    for key in ("conv1", "conv2", "conv3"):
+        p[key]["b"] = jnp.asarray(rng.normal(0, 0.3, p[key]["b"].shape), jnp.float32)
+    x8 = jnp.asarray(
+        rng.normal(size=(2, 32, 32, cfg.embed_dims[0])), jnp.float32
+    ).astype(jnp.bfloat16)
+    ref = np.asarray(_patch_merge(p, x8.astype(jnp.float32), stride=2))
+    got = np.asarray(
+        patch_merge_block(
+            x8,
+            p["conv1"]["w"][0, 0], p["conv1"]["b"],
+            p["conv2"]["w"], p["conv2"]["b"],
+            p["conv3"]["w"][0, 0], p["conv3"]["b"],
+            interpret=True, compute="bf16",
+        )
+    ).astype(np.float32)
+    err = np.abs(got - ref)
+    scale = np.abs(ref).max()
+    assert err.max() <= 0.08 * scale, (err.max(), scale)
+    assert err.mean() <= 0.01 * scale, (err.mean(), scale)
+
+
 def test_mbconv_bf16_compute_bound():
     """Opt-in bf16 MBConv compute (engine tinyvit_mbconv_compute="bf16"):
     the VPU stretch (GELUs + 9-tap depthwise chain) runs in bf16. Bound the

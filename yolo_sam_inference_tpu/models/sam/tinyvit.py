@@ -93,7 +93,29 @@ def _mbconv(
     return _gelu(x + h)
 
 
-def _patch_merge(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+def _patch_merge(
+    p: Params, x: jnp.ndarray, stride: int,
+    fused: bool = False, interpret: bool = False, compute: str = "fp32",
+) -> jnp.ndarray:
+    # Fused Pallas downsampler for the large stride-2 merges (the XLA
+    # depthwise emitter pathology — see ops/merge_fused.py). Gated to
+    # H >= 128: at 64^2 and below the XLA-side pad/staging copies exceed
+    # the emitter inefficiency (measured for the per-block local convs,
+    # BENCH_NOTES r3 negative results).
+    if (
+        fused and stride == 2 and x.shape[1] >= 128
+        and x.shape[1] % 2 == 0 and x.shape[2] % 16 == 0
+    ):
+        from ...ops.merge_fused import patch_merge_block
+
+        return patch_merge_block(
+            x,
+            p["conv1"]["w"][0, 0], p["conv1"]["b"],
+            p["conv2"]["w"], p["conv2"]["b"],
+            p["conv3"]["w"][0, 0], p["conv3"]["b"],
+            interpret=interpret,
+            compute=compute,
+        )
     h = _gelu(_conv_bn(p["conv1"], x))
     h = _gelu(_conv_bn(p["conv2"], h, stride=stride, groups=h.shape[-1]))
     return _conv_bn(p["conv3"], h)
@@ -243,7 +265,9 @@ def tinyvit_encoder(
     # stage 0: MBConv
     for bp in p["stage0"]:
         x = _mbconv(bp, x, fused=fused, compute=mbconv_compute)
-    x = _patch_merge(p["merge0"], x, stride=2)  # /8
+    x = _patch_merge(
+        p["merge0"], x, stride=2, fused=fused, compute=mbconv_compute
+    )  # /8
 
     for si in (1, 2, 3):
         for bp in p[f"stage{si}"]:
@@ -253,7 +277,10 @@ def tinyvit_encoder(
         if si < 3:
             # last merge keeps stride 1 so the final grid is S/16 (MobileSAM)
             stride = 2 if si == 1 else 1
-            x = _patch_merge(p[f"merge{si}"], x, stride=stride)
+            x = _patch_merge(
+                p[f"merge{si}"], x, stride=stride, fused=fused,
+                compute=mbconv_compute,
+            )
 
     n = p["neck"]
     y = jnp.einsum("bhwc,co->bhwo", x, n["conv1_w"])
