@@ -142,6 +142,42 @@ def test_fused_mbconv_matches_plain():
     )
 
 
+def test_dw_ln_mlp_matches_plain():
+    """The fused local_conv+LN+MLP tail kernel (interpret mode) must match
+    the plain formulation y = dw3x3(x)+b; y + mlp(LN(y)) — including the
+    'same'-padding edge taps and the strip-boundary halo rows."""
+    from yolo_sam_inference_tpu.models.sam.tinyvit import (
+        _conv_bn,
+        _gelu,
+        _layer_norm,
+    )
+    from yolo_sam_inference_tpu.ops.dw_ln_mlp import dw_ln_mlp
+
+    cfg = TinyViTConfig()
+    params = init_tinyvit_params(14, cfg)
+    p = params["stage1"][0]
+    c = cfg.embed_dims[1]
+    rng = np.random.default_rng(15)
+    p["local_conv"]["b"] = jnp.asarray(rng.normal(0, 0.3, (c,)), jnp.float32)
+    # H=16 picks strip height 8 -> 2 strips; W=16 pads to 24
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, c)), jnp.float32)
+
+    y = _conv_bn(p["local_conv"], x, groups=c)
+    h = _layer_norm(p["ln2"], y)
+    h = _gelu(h @ p["mlp1_w"] + p["mlp1_b"])
+    plain = y + (h @ p["mlp2_w"] + p["mlp2_b"])
+
+    fused = dw_ln_mlp(
+        x, p["local_conv"]["w"], p["local_conv"]["b"],
+        p["ln2"]["scale"], p["ln2"]["bias"],
+        p["mlp1_w"], p["mlp1_b"], p["mlp2_w"], p["mlp2_b"],
+        eps=1e-5, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(plain), atol=3e-5, rtol=1e-4
+    )
+
+
 def test_fused_patch_merge_matches_plain():
     """The Pallas stride-2 patch-merge kernel (interpret mode) must match
     the plain conv formulation: q-major s2d quadrant decomposition of the

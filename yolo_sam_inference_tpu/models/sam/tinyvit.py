@@ -195,6 +195,18 @@ def _tinyvit_block(
             a["qkv_w"], a["qkv_b"], a["proj_w"], a["proj_b"],
             heads, ws, interpret=interpret,
         )
+        if x.shape[2] % 8 == 0:
+            # local_conv fused into the MLP-tail kernel (the standalone
+            # XLA depthwise + two HBM round-trips disappear; a standalone
+            # Pallas depthwise loses at these sizes — ops/dw_ln_mlp.py)
+            from ...ops.dw_ln_mlp import dw_ln_mlp
+
+            return dw_ln_mlp(
+                x, p["local_conv"]["w"], p["local_conv"]["b"],
+                p["ln2"]["scale"], p["ln2"]["bias"],
+                p["mlp1_w"], p["mlp1_b"], p["mlp2_w"], p["mlp2_b"],
+                eps=1e-5, interpret=interpret,
+            )
         x = _conv_bn(p["local_conv"], x, groups=x.shape[-1])
         return fused_ln_mlp(
             x, None, p["ln2"]["scale"], p["ln2"]["bias"],
