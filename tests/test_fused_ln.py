@@ -52,6 +52,79 @@ def test_fused_ln_matches_model_layer_norm():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+def test_fused_ln_mlp_tiled_matches_resident():
+    """The weight-tiled block tail (ViT-L/H path) must match both the plain
+    jnp formulation and the resident-weight fused_ln_mlp: same fp32
+    partial-sum accumulation, LN reused from scratch across tiles."""
+    from yolo_sam_inference_tpu.ops.fused_ln import fused_ln_mlp, fused_ln_mlp_tiled
+
+    rng = np.random.default_rng(3)
+    c, hidden = 256, 1024
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, c)), jnp.float32)
+    a = jnp.asarray(rng.normal(size=(2, 8, 8, c)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(0, c ** -0.5, (c, hidden)), jnp.float32)
+    b1 = jnp.asarray(rng.normal(0, 0.1, (hidden,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, hidden ** -0.5, (hidden, c)), jnp.float32)
+    b2 = jnp.asarray(rng.normal(0, 0.1, (c,)), jnp.float32)
+
+    y = np.asarray(x, np.float32) + np.asarray(a, np.float32)
+    ln = _oracle_ln(y, s, b, 1e-6)
+    h = ln.reshape(-1, c) @ np.asarray(w1)
+    h = h + np.asarray(b1)
+    from scipy.special import erf
+
+    h = h * 0.5 * (1.0 + erf(h * 2 ** -0.5))
+    plain = y + (h @ np.asarray(w2) + np.asarray(b2)).reshape(y.shape)
+
+    resident = fused_ln_mlp(x, a, s, b, w1, b1, w2, b2, eps=1e-6, interpret=True)
+    tiled = fused_ln_mlp_tiled(
+        x, a, s, b, w1, b1, w2, b2, eps=1e-6, block_rows=64, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(tiled), plain, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(tiled), np.asarray(resident), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_fused_ln_mlp_tiled_multi_tile():
+    """Bench-size dims (ViT-L 1024x4096 at fp32 itemsize) must pick ht <
+    hidden; verify the multi-tile accumulation path explicitly on a config
+    forced to 4 tiles via a tiny VMEM budget stand-in (hidden=512, ht picked
+    by the divisor walk)."""
+    from yolo_sam_inference_tpu.ops.fused_ln import fused_ln_mlp_tiled
+
+    rng = np.random.default_rng(4)
+    c, hidden = 1024, 4096
+    # dtype bf16: the real ViT-L shape → ht should drop below hidden
+    x = jnp.asarray(rng.normal(size=(64, c)), jnp.bfloat16)
+    a = jnp.asarray(rng.normal(size=(64, c)), jnp.bfloat16)
+    s = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(0, c ** -0.5, (c, hidden)), jnp.bfloat16)
+    b1 = jnp.asarray(rng.normal(0, 0.1, (hidden,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, hidden ** -0.5, (hidden, c)), jnp.bfloat16)
+    b2 = jnp.asarray(rng.normal(0, 0.1, (c,)), jnp.float32)
+    got = np.asarray(
+        fused_ln_mlp_tiled(x, a, s, b, w1, b1, w2, b2, eps=1e-6, interpret=True),
+        np.float32,
+    )
+    y = np.asarray(x, np.float32) + np.asarray(a, np.float32)
+    ln = _oracle_ln(y, s, b, 1e-6).astype(np.float32)
+    # bf16 LHS like the kernel
+    lnb = np.asarray(jnp.asarray(ln, jnp.bfloat16), np.float32)
+    h = lnb @ np.asarray(w1, np.float32) + np.asarray(b1)
+    from scipy.special import erf
+
+    h = h * 0.5 * (1.0 + erf(h * 2 ** -0.5))
+    hb = np.asarray(jnp.asarray(h, jnp.bfloat16), np.float32)
+    plain = y + hb @ np.asarray(w2, np.float32) + np.asarray(b2)
+    err = np.abs(got - plain)
+    scale = np.abs(plain).max()
+    assert err.max() <= 0.05 * scale, (err.max(), scale)
+
+
 def test_encoder_restructure_preserves_output():
     """The pending-residual encoder loop must be numerically identical to the
     pre-restructure sequence (same adds, same order, jnp path on CPU)."""

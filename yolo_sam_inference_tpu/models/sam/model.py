@@ -337,6 +337,19 @@ def sam_image_encoder(
                     lp["mlp2"]["w"], lp["mlp2"]["b"],
                     eps=cfg.layer_norm_eps,
                 )
+            elif not quantized:
+                # ViT-L/H: MLP weights exceed the VMEM-resident budget —
+                # stream weight tiles instead (the XLA fallback round-trips
+                # the full (rows, hidden) GELU activation through HBM)
+                from ...ops.fused_ln import fused_ln_mlp_tiled
+
+                x = fused_ln_mlp_tiled(
+                    x, h,
+                    lp["ln2"]["scale"], lp["ln2"]["bias"],
+                    lp["mlp1"]["w"], lp["mlp1"]["b"],
+                    lp["mlp2"]["w"], lp["mlp2"]["b"],
+                    eps=cfg.layer_norm_eps,
+                )
             else:
                 x, h = _add_layer_norm(lp["ln2"], x, h, cfg.layer_norm_eps)
                 h = apply_linear(lp["mlp1"], h)

@@ -205,6 +205,122 @@ def fused_ln_mlp(
     return out.reshape(orig_shape)
 
 
+def _ln_mlp_tiled_kernel(
+    x_ref, a_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    o_ref, ln_ref, y_ref, acc_ref,
+    *, eps: float, nk: int,
+):
+    """Weight-tiled block tail: grid (row blocks, hidden tiles); the output
+    block is revisited across the (innermost, sequential) tile dimension.
+    LN and the residual sum are computed once per row block (tile 0) and
+    stay in VMEM scratch; the fp32 partial-sum accumulator too, so the
+    numerics match the resident-weight kernel (one fp32 sum, one downcast)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        y = x_ref[...] + a_ref[...]
+        y_ref[...] = y
+        ln_ref[...] = _ln_rows(y, s_ref[...], b_ref[...], eps)
+        acc_ref[...] = jnp.broadcast_to(b2_ref[...], acc_ref.shape)
+
+    h = (
+        jax.lax.dot_general(
+            ln_ref[...], w1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1_ref[...]
+    )
+    h = h * 0.5 * (1.0 + _erf_as(h * (2.0 ** -0.5)))
+    h = h.astype(y_ref.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        h, w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[...] = y_ref[...] + acc_ref[...].astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_rows", "interpret"))
+def fused_ln_mlp_tiled(
+    x, attn, scale, bias, w1, b1, w2, b2,
+    eps: float = 1e-6,
+    block_rows: int = 256,
+    interpret: bool = False,
+):
+    """``(x + attn) + mlp2(gelu(mlp1(LayerNorm(x + attn))))`` for models
+    whose MLP weights exceed the VMEM-resident budget of
+    :func:`fused_ln_mlp` (ViT-L: 1024x4096 bf16 x2 = 16.7 MB; ViT-H
+    1280x5120 = 26 MB).
+
+    The hidden dimension is tiled over the innermost grid dimension:
+    weight tiles stream through VMEM (double-buffered by the Pallas
+    pipeline) while the (rows, hidden-tile) activation never touches HBM —
+    XLA's unfused lowering round-trips the full (rows, hidden) GELU
+    activation (ViT-L bench shape: 268 MB per direction per layer).
+    """
+    orig_shape = x.shape
+    c = x.shape[-1]
+    hidden = w1.shape[-1]
+    m = x.size // c
+    bm = _pick_bm(m, c, block_rows)
+    # hidden tile: largest divisor of hidden keeping a double-buffered
+    # (C, ht) + (ht, C) tile pair + the row-block scratch under ~10 MB
+    ht = hidden
+    while ht > 128 and (4 * c * ht * x.dtype.itemsize + bm * c * 8) > 10_000_000:
+        nxt = ht // 2
+        while hidden % nxt and nxt > 128:
+            nxt -= 1
+        if nxt == ht or hidden % nxt:
+            break
+        ht = nxt
+    nk = hidden // ht
+    x2 = x.reshape(m, c)
+    a2 = attn.reshape(m, c)
+    grid = (m // bm, nk)
+    row = lambda i, k: (i, 0)
+    full = lambda i, k: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_ln_mlp_tiled_kernel, eps=eps, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, c), row),
+            pl.BlockSpec((bm, c), row),
+            pl.BlockSpec((1, c), full),
+            pl.BlockSpec((1, c), full),
+            pl.BlockSpec((c, ht), lambda i, k: (0, k)),
+            pl.BlockSpec((1, ht), lambda i, k: (0, k)),
+            pl.BlockSpec((ht, c), lambda i, k: (k, 0)),
+            pl.BlockSpec((1, c), full),
+        ],
+        out_specs=pl.BlockSpec((bm, c), row),
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, c), x.dtype),      # ln rows
+            pltpu.VMEM((bm, c), x.dtype),      # residual sum y
+            pltpu.VMEM((bm, c), jnp.float32),  # fp32 partial-sum accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        x2,
+        a2,
+        scale.reshape(1, c).astype(x.dtype),
+        bias.reshape(1, c).astype(x.dtype),
+        w1.astype(x.dtype),
+        b1.reshape(1, hidden).astype(jnp.float32),
+        w2.astype(x.dtype),
+        b2.reshape(1, c).astype(jnp.float32),
+    )
+    return out.reshape(orig_shape)
+
+
 def _ln_matmul_kernel(x_ref, s_ref, b_ref, w_ref, wb_ref, o_ref, *, eps: float):
     """out = LayerNorm(x) @ W + b in one pass (W resident in VMEM)."""
     ln = _ln_rows(x_ref[...], s_ref[...], b_ref[...], eps)
