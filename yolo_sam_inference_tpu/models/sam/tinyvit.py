@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -33,6 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 
 Params = Dict[str, Any]
+
+# device A/B knob for the fused stride-2 merge size gate (read at import;
+# the traced program is shape-static so a per-process setting is exact)
+_FUSED_MERGE_MIN_H = int(os.environ.get("TINYVIT_FUSED_MERGE_MIN_H", "128"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,11 +104,13 @@ def _patch_merge(
 ) -> jnp.ndarray:
     # Fused Pallas downsampler for the large stride-2 merges (the XLA
     # depthwise emitter pathology — see ops/merge_fused.py). Gated to
-    # H >= 128: at 64^2 and below the XLA-side pad/staging copies exceed
-    # the emitter inefficiency (measured for the per-block local convs,
-    # BENCH_NOTES r3 negative results).
+    # H >= 128 by default: at 64^2 and below the XLA-side pad/staging
+    # copies exceeded the emitter inefficiency for standalone kernels
+    # (BENCH_NOTES r3 negative results); TINYVIT_FUSED_MERGE_MIN_H
+    # overrides for device A/B (the merge kernel runs at quarter res, so
+    # the prior may not transfer).
     if (
-        fused and stride == 2 and x.shape[1] >= 128
+        fused and stride == 2 and x.shape[1] >= _FUSED_MERGE_MIN_H
         and x.shape[1] % 2 == 0 and x.shape[2] % 16 == 0
     ):
         from ...ops.merge_fused import patch_merge_block
@@ -296,10 +303,19 @@ def tinyvit_encoder(
 
     n = p["neck"]
     y = jnp.einsum("bhwc,co->bhwo", x, n["conv1_w"])
-    y = _layer_norm(n["ln1"], y, 1e-6)
+    if fused:
+        from ...ops.fused_ln import fused_ln
+
+        y = fused_ln(y, n["ln1"]["scale"], n["ln1"]["bias"], eps=1e-6)
+    else:
+        y = _layer_norm(n["ln1"], y, 1e-6)
     y = jax.lax.conv_general_dilated(
         y, n["conv2_w"], (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
+    if fused:
+        from ...ops.fused_ln import fused_ln
+
+        return fused_ln(y, n["ln2"]["scale"], n["ln2"]["bias"], eps=1e-6)
     return _layer_norm(n["ln2"], y, 1e-6)
 
 
