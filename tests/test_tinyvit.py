@@ -292,6 +292,42 @@ def test_stem_s2d_exact():
     )
 
 
+@pytest.mark.slow
+def test_fused_encoder_composition_matches_plain():
+    """Force the TPU wiring (fused=True) through the Pallas interpreter for
+    the WHOLE TinyViT encoder and compare against the plain jnp path: this
+    exercises the real kernel composition at stage boundaries (param
+    plumbing, merge gate, s2d stems, neck fused-LN) that per-kernel unit
+    tests cannot see."""
+    import yolo_sam_inference_tpu.models.sam.tinyvit as tv
+
+    cfg = TinyViTConfig()
+    params = init_tinyvit_params(21, cfg)
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.normal(size=(1, 128, 128, 3)), jnp.float32)
+
+    plain = np.asarray(tinyvit_encoder(params, x, cfg, fused=False))
+
+    old = tv._FUSED_MERGE_MIN_H
+    tv._FUSED_MERGE_MIN_H = 8  # engage the merge kernel at test size
+    try:
+        fused = np.asarray(
+            tinyvit_encoder(params, x, cfg, fused=True, interpret=True)
+        )
+        # + the exact-equivalent s2d stems on the fused path
+        p2 = dict(params)
+        p2["stem_s2d"] = tv.transform_stem_s2d(params)
+        fused_s2d = np.asarray(
+            tinyvit_encoder(p2, x, cfg, fused=True, interpret=True)
+        )
+    finally:
+        tv._FUSED_MERGE_MIN_H = old
+
+    scale = np.abs(plain).max()
+    assert np.abs(fused - plain).max() <= 2e-3 * scale
+    assert np.abs(fused_s2d - plain).max() <= 2e-3 * scale
+
+
 def test_mobile_sam_engine_integration():
     from yolo_sam_inference_tpu.models.sam import sam_tiny_test
     from yolo_sam_inference_tpu.models.yolo import YoloConfig

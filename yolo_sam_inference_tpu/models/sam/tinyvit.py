@@ -261,18 +261,24 @@ def _stems_s2d(p: Params, pixel_values: jnp.ndarray) -> jnp.ndarray:
 def tinyvit_encoder(
     params: Params, pixel_values: jnp.ndarray, cfg: TinyViTConfig,
     mbconv_compute: str = "fp32",
+    fused: bool = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """(B, S, S, 3) normalized -> (B, S/16, S/16, output_channels).
 
     On TPU the transformer stages run as fused Pallas passes
     (ops/tinyvit_attention.py window kernel + ops/fused_ln.py MLP tail);
     the plain jnp formulation below stays the CPU/test reference —
-    interpret-mode equality is enforced by tests/test_tinyvit.py.
+    interpret-mode equality is enforced by tests/test_tinyvit.py, both
+    per kernel and for the full fused composition (``fused=True,
+    interpret=True`` forces the TPU wiring through the Pallas
+    interpreter off-device).
     """
     from ...ops import mosaic_backend
 
     p = params
-    fused = mosaic_backend()
+    if fused is None:
+        fused = mosaic_backend()
     if "stem_s2d" in p and pixel_values.shape[1] % 8 == 0:
         x = _stems_s2d(p["stem_s2d"], pixel_values)  # /4, exact-equivalent
     else:
@@ -283,22 +289,24 @@ def tinyvit_encoder(
 
     # stage 0: MBConv
     for bp in p["stage0"]:
-        x = _mbconv(bp, x, fused=fused, compute=mbconv_compute)
+        x = _mbconv(bp, x, fused=fused, interpret=interpret, compute=mbconv_compute)
     x = _patch_merge(
-        p["merge0"], x, stride=2, fused=fused, compute=mbconv_compute
+        p["merge0"], x, stride=2, fused=fused, interpret=interpret,
+        compute=mbconv_compute,
     )  # /8
 
     for si in (1, 2, 3):
         for bp in p[f"stage{si}"]:
             x = _tinyvit_block(
-                bp, x, cfg.num_heads[si], cfg.window_sizes[si], cfg, fused=fused
+                bp, x, cfg.num_heads[si], cfg.window_sizes[si], cfg,
+                fused=fused, interpret=interpret,
             )
         if si < 3:
             # last merge keeps stride 1 so the final grid is S/16 (MobileSAM)
             stride = 2 if si == 1 else 1
             x = _patch_merge(
                 p[f"merge{si}"], x, stride=stride, fused=fused,
-                compute=mbconv_compute,
+                interpret=interpret, compute=mbconv_compute,
             )
 
     n = p["neck"]
@@ -306,7 +314,10 @@ def tinyvit_encoder(
     if fused:
         from ...ops.fused_ln import fused_ln
 
-        y = fused_ln(y, n["ln1"]["scale"], n["ln1"]["bias"], eps=1e-6)
+        y = fused_ln(
+            y, n["ln1"]["scale"], n["ln1"]["bias"], eps=1e-6,
+            interpret=interpret,
+        )
     else:
         y = _layer_norm(n["ln1"], y, 1e-6)
     y = jax.lax.conv_general_dilated(
@@ -315,7 +326,10 @@ def tinyvit_encoder(
     if fused:
         from ...ops.fused_ln import fused_ln
 
-        return fused_ln(y, n["ln2"]["scale"], n["ln2"]["bias"], eps=1e-6)
+        return fused_ln(
+            y, n["ln2"]["scale"], n["ln2"]["bias"], eps=1e-6,
+            interpret=interpret,
+        )
     return _layer_norm(n["ln2"], y, 1e-6)
 
 
