@@ -19,6 +19,7 @@ so application is ``x @ w + b``.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -123,6 +124,9 @@ def _vision_rel_bias(
 # from naive attention. Windowed layers (s = 14) and test-size grids stay
 # naive; 1024-input global layers (s = 64 -> N = 4096) go through flash.
 _FLASH_MIN_GRID = 32
+
+# kill switch / device A/B for the weight-tiled ViT-L/H MLP kernel
+_TILED_MLP = os.environ.get("SAM_TILED_MLP", "1") != "0"
 
 
 def _vision_attention_grid(
@@ -337,10 +341,12 @@ def sam_image_encoder(
                     lp["mlp2"]["w"], lp["mlp2"]["b"],
                     eps=cfg.layer_norm_eps,
                 )
-            elif not quantized:
+            elif not quantized and _TILED_MLP:
                 # ViT-L/H: MLP weights exceed the VMEM-resident budget —
                 # stream weight tiles instead (the XLA fallback round-trips
-                # the full (rows, hidden) GELU activation through HBM)
+                # the full (rows, hidden) GELU activation through HBM).
+                # SAM_TILED_MLP=0 reverts to the unfused XLA tail (device
+                # A/B + kill switch while the kernel is young).
                 from ...ops.fused_ln import fused_ln_mlp_tiled
 
                 x = fused_ln_mlp_tiled(
