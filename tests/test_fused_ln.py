@@ -89,10 +89,9 @@ def test_fused_ln_mlp_tiled_matches_resident():
 
 
 def test_fused_ln_mlp_tiled_multi_tile():
-    """Bench-size dims (ViT-L 1024x4096 at fp32 itemsize) must pick ht <
-    hidden; verify the multi-tile accumulation path explicitly on a config
-    forced to 4 tiles via a tiny VMEM budget stand-in (hidden=512, ht picked
-    by the divisor walk)."""
+    """Real ViT-L dims (c=1024, hidden=4096, bf16): the divisor walk picks
+    ht=1024 (nk=4 tiles at this test's bm=64), exercising the multi-tile
+    scratch accumulation path at the exact bench weight shape."""
     from yolo_sam_inference_tpu.ops.fused_ln import fused_ln_mlp_tiled
 
     rng = np.random.default_rng(4)

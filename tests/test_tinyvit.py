@@ -13,6 +13,7 @@ from yolo_sam_inference_tpu.models.sam.tinyvit import (
 )
 
 
+@pytest.mark.slow
 def test_encoder_shapes_and_jit():
     cfg = TinyViTConfig(image_size=128, output_channels=32)
     params = init_tinyvit_params(0, cfg)
@@ -22,6 +23,7 @@ def test_encoder_shapes_and_jit():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_resolution_independent_weights():
     """Same params run at multiple resolutions (no abs pos embed)."""
     cfg128 = TinyViTConfig(image_size=128, output_channels=32)
@@ -43,6 +45,7 @@ def test_window_attention_bias_index():
     assert idx[4, 4] == 12  # zero offset = center code
 
 
+@pytest.mark.slow
 def test_fused_block_matches_plain():
     """The Pallas window-attention + fused-MLP block path (interpret mode)
     must match the plain jnp reference for every TinyViT-5M stage geometry
@@ -328,6 +331,7 @@ def test_fused_encoder_composition_matches_plain():
     assert np.abs(fused_s2d - plain).max() <= 2e-3 * scale
 
 
+@pytest.mark.slow
 def test_mobile_sam_engine_integration():
     from yolo_sam_inference_tpu.models.sam import sam_tiny_test
     from yolo_sam_inference_tpu.models.yolo import YoloConfig
@@ -357,6 +361,3 @@ def test_mobile_sam_engine_integration():
     assert out["mask_crops"].shape[0] == 1
 
 
-# heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
-# quick loop with `pytest -m "not slow" tests/`
-pytestmark = pytest.mark.slow

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_ln import _erf_as, _ln_rows
+from .fused_ln import _ln_rows, _mlp_rows
 
 
 def _dw_ln_mlp_kernel(
@@ -46,7 +46,6 @@ def _dw_ln_mlp_kernel(
 ):
     wp = xc_ref.shape[2]
     c = xc_ref.shape[3]
-    hidden = w1_ref.shape[-1]
 
     xc = xc_ref[0]  # (h, Wp, C) center strip
     xt = xt_ref[0]  # (1, Wp, C) row above
@@ -67,27 +66,7 @@ def _dw_ln_mlp_kernel(
     y = acc.astype(xc.dtype).reshape(h * w, c)
 
     ln = _ln_rows(y, s_ref[...], b_ref[...], eps)
-    # hidden-dim chunking: one chunk's gelu (VPU) overlaps the next
-    # chunk's matmuls (MXU) in Mosaic's schedule (ops/fused_ln.py)
-    chunks = 4 if hidden % 4 == 0 else 1
-    ch = hidden // chunks
-    out = b2_ref[...]
-    for i in range(chunks):
-        hh = (
-            jax.lax.dot_general(
-                ln, w1_ref[:, i * ch : (i + 1) * ch],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + b1_ref[:, i * ch : (i + 1) * ch]
-        )
-        hh = hh * 0.5 * (1.0 + _erf_as(hh * (2.0 ** -0.5)))
-        hh = hh.astype(y.dtype)
-        out = out + jax.lax.dot_general(
-            hh, w2_ref[i * ch : (i + 1) * ch, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    out = _mlp_rows(ln, w1_ref, b1_ref, w2_ref, b2_ref, y.dtype)
     o_ref[0] = (y + out.astype(y.dtype)).reshape(h, w, c)
 
 

@@ -101,6 +101,38 @@ def _erf_as(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _mlp_rows(ln, w1_ref, b1_ref, w2_ref, b2_ref, act_dtype):
+    """fp32 mlp2(gelu(mlp1(ln))) + b2 over a (rows, C) tile, both weights
+    VMEM-resident. Split along the hidden dim so the gelu (VPU) of one
+    chunk can overlap the next chunk's matmuls (MXU) in Mosaic's schedule
+    — the three ops are otherwise a serial dependency chain. erf-GELU via
+    Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7, matching torch.nn.GELU;
+    Pallas TPU has no erf primitive). fp32 throughout: a bf16 polynomial
+    measured ~5% relative error. Shared by the resident block-tail kernel
+    below and the TinyViT dw+LN+MLP kernel (ops/dw_ln_mlp.py)."""
+    hidden = w1_ref.shape[-1]
+    chunks = 4 if hidden % 4 == 0 else 1
+    ch = hidden // chunks
+    out = b2_ref[...]
+    for i in range(chunks):
+        h = (
+            jax.lax.dot_general(
+                ln, w1_ref[:, i * ch : (i + 1) * ch],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b1_ref[:, i * ch : (i + 1) * ch]
+        )
+        h = h * 0.5 * (1.0 + _erf_as(h * (2.0 ** -0.5)))
+        h = h.astype(act_dtype)
+        out = out + jax.lax.dot_general(
+            h, w2_ref[i * ch : (i + 1) * ch, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return out
+
+
 def _ln_mlp_kernel(
     x_ref, *refs, eps: float, with_attn: bool = True,
 ):
@@ -115,33 +147,7 @@ def _ln_mlp_kernel(
         s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref = refs
         y = x_ref[...]
     ln = _ln_rows(y, s_ref[...], b_ref[...], eps)
-    hidden = w1_ref.shape[-1]
-    # split the hidden dim so the gelu (VPU) of one chunk can overlap the
-    # next chunk's matmuls (MXU) in Mosaic's schedule — the three ops are
-    # otherwise a serial dependency chain
-    chunks = 4 if hidden % 4 == 0 else 1
-    ch = hidden // chunks
-    out = b2_ref[...]
-    for i in range(chunks):
-        h = (
-            jax.lax.dot_general(
-                ln, w1_ref[:, i * ch : (i + 1) * ch],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + b1_ref[:, i * ch : (i + 1) * ch]
-        )
-        # erf-GELU, matching torch.nn.GELU default; Pallas TPU has no erf
-        # primitive, so use Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7 —
-        # orders of magnitude below bf16 resolution). fp32 throughout: a
-        # bf16 polynomial measured ~5% relative error.
-        h = h * 0.5 * (1.0 + _erf_as(h * (2.0 ** -0.5)))
-        h = h.astype(y.dtype)
-        out = out + jax.lax.dot_general(
-            h, w2_ref[i * ch : (i + 1) * ch, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    out = _mlp_rows(ln, w1_ref, b1_ref, w2_ref, b2_ref, y.dtype)
     o_ref[...] = y + out.astype(y.dtype)
 
 
