@@ -157,6 +157,9 @@ def _run_bench() -> None:
                                          progress=False)
             e2e_dt = time.perf_counter() - t0
         result["e2e_dir_ips"] = round(len(res.results) / e2e_dt, 2)
+        # host-side wall attribution (decode vs dispatch vs tunnel fetch vs
+        # row assembly) — tells us which leg bounds the honest number
+        result["e2e_stages"] = getattr(pipe, "last_directory_stats", None)
 
     ips = batch * chunk * iters / dt if chunk > 1 else batch * iters / dt
     label = {"facebook/sam-vit-base": "SAM-ViT-B", "facebook/sam-vit-large": "SAM-ViT-L",

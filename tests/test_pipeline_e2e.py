@@ -197,6 +197,18 @@ def test_async_directory_path_matches_stage_api(tiny_pipeline, tmp_path):
                     "sam_inference_total", "metrics_total", "total_time"):
             assert key in res.timing
 
+    # host-side wall attribution (bench.py BENCH_E2E reports this): all legs
+    # accounted, counts match, and the async path actually ran
+    stats = tiny_pipeline.last_directory_stats
+    for key in ("decode_s", "dispatch_s", "fetch_s", "assemble_s",
+                "sample_sync_s", "vis_s", "wall_s"):
+        assert isinstance(stats[key], float) and stats[key] >= 0.0
+    assert stats["n_images"] == 5
+    assert stats["n_batches"] == 3  # batch_size=2 -> 2+2+1
+    assert stats["n_sample_batches"] >= 1
+    assert stats["dispatch_s"] > 0.0 and stats["fetch_s"] > 0.0
+    assert stats["wall_s"] >= stats["sample_sync_s"]
+
 
 def test_mixed_shapes_grouped(tiny_pipeline, tmp_path):
     from PIL import Image

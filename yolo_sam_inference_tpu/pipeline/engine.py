@@ -889,30 +889,46 @@ class CellSegmentationPipeline:
         few = len(files) <= bsz
         pending: List[Tuple[Any, Any, List[Path], int, Dict[str, float]]] = []
         sampled: Dict[str, float] = {}
+        # host-side wall-time attribution for the whole directory run
+        # (exposed as ``self.last_directory_stats`` — bench.py's BENCH_E2E
+        # reports it so tunnel-transfer vs decode vs assembly costs are
+        # visible per run; the per-image ``timing`` rows keep the reference
+        # schema untouched)
+        stats = {"decode_s": 0.0, "dispatch_s": 0.0, "fetch_s": 0.0,
+                 "assemble_s": 0.0, "sample_sync_s": 0.0, "vis_s": 0.0,
+                 "n_images": 0, "n_batches": 0, "n_sample_batches": 0}
+        wall_t0 = time.perf_counter()
 
         def run_batch(timed, batch_imgs, batch_paths, n_valid, load_s):
             timings: Dict[str, float] = {"image_load": load_s}
+            stats["decode_s"] += load_s
+            stats["n_batches"] += 1
             if timed:
+                t0 = time.perf_counter()
                 out = self.process_batch_arrays(batch_imgs, timings)
+                stats["sample_sync_s"] += time.perf_counter() - t0
+                stats["n_sample_batches"] += 1
                 sampled.clear()
                 sampled.update(
                     {k: v for k, v in timings.items() if k != "image_load"}
                 )
                 return (out, None, batch_paths, n_valid, timings)
             timings.update(sampled)
-            return (
-                None,
-                self._dispatch_batch(batch_imgs),
-                batch_paths,
-                n_valid,
-                timings,
-            )
+            t0 = time.perf_counter()
+            handles = self._dispatch_batch(batch_imgs)
+            stats["dispatch_s"] += time.perf_counter() - t0
+            return (None, handles, batch_paths, n_valid, timings)
 
         def finish(entry, batch_imgs):
             out, handles, batch_paths, n_valid, timings = entry
             if out is None:
+                t0 = time.perf_counter()
                 out = self._fetch_outputs(handles)
+                stats["fetch_s"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             batch_results = self._results_from_outputs(out, batch_paths, n_valid)
+            stats["assemble_s"] += time.perf_counter() - t0
+            stats["n_images"] += n_valid
 
             vis_t0 = time.time()
             if save_visualizations:
@@ -936,6 +952,8 @@ class CellSegmentationPipeline:
                     except Exception as e:
                         logger.warning("Visualization failed: %s", e)
             vis_s = time.time() - vis_t0
+            stats["vis_s"] += vis_s
+            row_t0 = time.perf_counter()
 
             per_img = 1.0 / max(n_valid, 1)
             for res in batch_results:
@@ -954,6 +972,7 @@ class CellSegmentationPipeline:
                 collect_metrics_data(metrics_data, res)
                 collect_timing_data(timing_data, res)
                 results.append(res)
+            stats["assemble_s"] += time.perf_counter() - row_t0
             if progress:
                 logger.info(
                     "processed %d/%d images (%d cells so far)",
@@ -978,6 +997,14 @@ class CellSegmentationPipeline:
                 finish(*pending.pop(0))
         while pending:
             finish(*pending.pop(0))
+
+        stats["wall_s"] = time.perf_counter() - wall_t0
+        # decode_s is thread-overlapped loader time; sample_sync_s serializes
+        # (device-synced stage rows); the rest is the async steady state.
+        self.last_directory_stats = {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in stats.items()
+        }
 
         return BatchProcessingResult(
             results=results,
