@@ -139,6 +139,140 @@ def test_pipeline_quant_masks_match_float():
     assert np.max(np.abs(df - dq)) < 0.02
 
 
+def _oracle_int8_tail(x, attn, scale, bias, w1q, w1s, b1, w2q, w2s, b2,
+                      eps=1e-6, chunks=4):
+    """jnp oracle of fused_ln_mlp_int8's exact scheme (same chunking, same
+    round-half-to-even quantization, fp32 epilogues) for interpret-mode
+    kernel parity."""
+    y = x + attn if attn is not None else x
+    yf = y.astype(jnp.float32)
+    mean = yf.mean(-1, keepdims=True)
+    d = yf - mean
+    inv = jax.lax.rsqrt((d * d).mean(-1, keepdims=True) + eps)
+    ln = ((d * inv).astype(y.dtype) * scale + bias).astype(jnp.float32)
+    m = ln.reshape(-1, ln.shape[-1])
+
+    def quant_rows(v):
+        amax = jnp.max(jnp.abs(v), axis=-1, keepdims=True)
+        s = jnp.where(amax > 0, amax / 127.0, 1.0)
+        return jnp.clip(jnp.round(v / s), -127, 127).astype(jnp.int8), s
+
+    xq, xs = quant_rows(m)
+    hidden = w1q.shape[-1]
+    ch = hidden // chunks
+    out = jnp.broadcast_to(b2.astype(jnp.float32), (m.shape[0], w2q.shape[-1]))
+    from scipy.special import erf
+    for i in range(chunks):
+        sl = slice(i * ch, (i + 1) * ch)
+        acc = jax.lax.dot_general(xq, w1q[:, sl], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        h = acc.astype(jnp.float32) * (xs * w1s[None, sl]) + b1[None, sl]
+        # the kernel's Abramowitz-Stegun erf (|err|<=1.5e-7) vs scipy's:
+        # inside the comparison tolerance
+        h = h * 0.5 * (1.0 + jnp.asarray(erf(np.asarray(h) * 2.0 ** -0.5)))
+        hq, hs = quant_rows(h)
+        acc2 = jax.lax.dot_general(hq, w2q[sl, :], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        out = out + acc2.astype(jnp.float32) * (hs * w2s[None, :])
+    return y + out.reshape(y.shape).astype(y.dtype)
+
+
+def _int8_tail_case(rng, rows=64, c=128, hidden=512, dtype=jnp.float32):
+    x = jnp.asarray(rng.normal(size=(rows, c)), dtype)
+    a = jnp.asarray(rng.normal(size=(rows, c)), dtype)
+    scale = jnp.asarray(rng.normal(1, 0.1, size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, size=(c,)).astype(np.float32))
+    p1 = quantize_linear_params(
+        {"w": jnp.asarray(rng.normal(0, 0.06, size=(c, hidden)).astype(np.float32)),
+         "b": jnp.asarray(rng.normal(0, 0.05, size=(hidden,)).astype(np.float32))})
+    p2 = quantize_linear_params(
+        {"w": jnp.asarray(rng.normal(0, 0.06, size=(hidden, c)).astype(np.float32)),
+         "b": jnp.asarray(rng.normal(0, 0.05, size=(c,)).astype(np.float32))})
+    return x, a, scale, bias, p1, p2
+
+
+def _assert_quant_parity(got, want):
+    """Kernel-vs-oracle comparison tolerant of isolated rounding-tie flips:
+    an LN value landing exactly on an int8 rounding boundary can resolve
+    differently between the jit-fused kernel and the oracle's composition
+    (1-ulp input difference -> one quant-step output difference on that
+    row). Bulk must match tightly; ties are rare and step-bounded."""
+    d = np.abs(got - want)
+    bad_rows = (d.max(axis=-1) > 2e-5)
+    # a tie flips one quantized int of a row, moving that whole row by one
+    # quant step — so the unit of disagreement is a row, not an element
+    assert bad_rows.mean() <= 0.06, bad_rows.mean()
+    assert d.max() < 5e-3, d.max()
+
+
+def test_fused_ln_mlp_int8_matches_oracle():
+    """Interpret-mode kernel == jnp oracle of the identical w8a8 scheme."""
+    from yolo_sam_inference_tpu.ops.fused_ln import fused_ln_mlp_int8
+
+    rng = np.random.default_rng(11)
+    x, a, scale, bias, p1, p2 = _int8_tail_case(rng)
+    got = np.asarray(fused_ln_mlp_int8(
+        x, a, scale, bias, p1["wq"], p1["wscale"], p1["b"],
+        p2["wq"], p2["wscale"], p2["b"], interpret=True))
+    want = np.asarray(_oracle_int8_tail(
+        x, a, scale, bias, p1["wq"], p1["wscale"], p1["b"],
+        p2["wq"], p2["wscale"], p2["b"]))
+    _assert_quant_parity(got, want)
+
+
+def test_fused_ln_mlp_int8_no_attn_matches_oracle():
+    from yolo_sam_inference_tpu.ops.fused_ln import fused_ln_mlp_int8
+
+    rng = np.random.default_rng(12)
+    x, _, scale, bias, p1, p2 = _int8_tail_case(rng)
+    got = np.asarray(fused_ln_mlp_int8(
+        x, None, scale, bias, p1["wq"], p1["wscale"], p1["b"],
+        p2["wq"], p2["wscale"], p2["b"], interpret=True))
+    want = np.asarray(_oracle_int8_tail(
+        x, None, scale, bias, p1["wq"], p1["wscale"], p1["b"],
+        p2["wq"], p2["wscale"], p2["b"]))
+    _assert_quant_parity(got, want)
+
+
+def test_fused_ln_mlp_int8_close_to_float_tail():
+    """The w8a8 fused tail's MLP contribution stays within quantization
+    error of the exact fp32 fused tail on the same weights."""
+    from yolo_sam_inference_tpu.ops.fused_ln import fused_ln_mlp, fused_ln_mlp_int8
+
+    rng = np.random.default_rng(13)
+    c, hidden = 128, 512
+    x = jnp.asarray(rng.normal(size=(64, c)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(64, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(1, 0.1, size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, size=(c,)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(0, 0.06, size=(c, hidden)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(0, 0.05, size=(hidden,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(0, 0.06, size=(hidden, c)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(0, 0.05, size=(c,)).astype(np.float32))
+    p1 = quantize_linear_params({"w": w1, "b": b1})
+    p2 = quantize_linear_params({"w": w2, "b": b2})
+    exact = np.asarray(fused_ln_mlp(x, a, scale, bias, w1, b1, w2, b2,
+                                    interpret=True))
+    q = np.asarray(fused_ln_mlp_int8(
+        x, a, scale, bias, p1["wq"], p1["wscale"], p1["b"],
+        p2["wq"], p2["wscale"], p2["b"], interpret=True))
+    y = np.asarray(x + a)
+    rel = np.linalg.norm(q - exact) / np.linalg.norm(exact - y)
+    assert rel < 0.02, rel
+
+
+def test_fused_ln_mlp_int8_bf16_activations():
+    from yolo_sam_inference_tpu.ops.fused_ln import fused_ln_mlp_int8
+
+    rng = np.random.default_rng(14)
+    x, a, scale, bias, p1, p2 = _int8_tail_case(rng, dtype=jnp.bfloat16)
+    out = fused_ln_mlp_int8(
+        x, a, scale, bias, p1["wq"], p1["wscale"], p1["b"],
+        p2["wq"], p2["wscale"], p2["b"], interpret=True)
+    assert out.shape == x.shape and out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 if __name__ == "__main__":
     import sys
 

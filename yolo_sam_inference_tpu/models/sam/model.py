@@ -127,6 +127,10 @@ _FLASH_MIN_GRID = 32
 
 # kill switch / device A/B for the weight-tiled ViT-L/H MLP kernel
 _TILED_MLP = os.environ.get("SAM_TILED_MLP", "1") != "0"
+# SAM_INT8_FUSED=0: kill switch for the VMEM-resident w8a8 block-tail
+# kernel (ops/fused_ln.py:fused_ln_mlp_int8) — reverts quantized MLPs to
+# the unfused XLA int8 path (ops/quant.py) for device A/B.
+_INT8_FUSED = os.environ.get("SAM_INT8_FUSED", "1") != "0"
 
 
 def _vision_attention_grid(
@@ -320,6 +324,13 @@ def sam_image_encoder(
         fuse_tail = (
             not quantized and cfg.vision_hidden * cfg.vision_mlp_dim <= 2_400_000
         )
+        # int8 weights halve the residency budget: ViT-B AND ViT-L MLPs fit
+        # (4.7 / 8.4 MB); ViT-H (13.1 MB) leaves no room for the activation
+        # blocks and stays on the unfused XLA int8 path.
+        fuse_tail_int8 = (
+            quantized and _INT8_FUSED
+            and cfg.vision_hidden * cfg.vision_mlp_dim <= 4_500_000
+        )
         pending = None
         for i in range(cfg.vision_layers):
             lp = p["layers"][i]
@@ -339,6 +350,16 @@ def sam_image_encoder(
                     lp["ln2"]["scale"], lp["ln2"]["bias"],
                     lp["mlp1"]["w"], lp["mlp1"]["b"],
                     lp["mlp2"]["w"], lp["mlp2"]["b"],
+                    eps=cfg.layer_norm_eps,
+                )
+            elif fuse_tail_int8:
+                from ...ops.fused_ln import fused_ln_mlp_int8
+
+                x = fused_ln_mlp_int8(
+                    x, h,
+                    lp["ln2"]["scale"], lp["ln2"]["bias"],
+                    lp["mlp1"]["wq"], lp["mlp1"]["wscale"], lp["mlp1"]["b"],
+                    lp["mlp2"]["wq"], lp["mlp2"]["wscale"], lp["mlp2"]["b"],
                     eps=cfg.layer_norm_eps,
                 )
             elif not quantized and _TILED_MLP:

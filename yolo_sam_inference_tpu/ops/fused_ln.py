@@ -327,6 +327,132 @@ def fused_ln_mlp_tiled(
     return out.reshape(orig_shape)
 
 
+def _quant_rows(xf):
+    """Symmetric per-row dynamic int8 quantization of an fp32 (rows, k) tile.
+
+    Returns ``(xq int8, scale fp32 (rows, 1))`` with ``xf ~= xq * scale``;
+    the same scheme as ops/quant.py:int8_linear's activation side (jnp.round
+    = round-half-to-even on both paths, so kernel and XLA oracle agree
+    bit-for-bit on the quantized integers)."""
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def _int8_mlp_rows(ln, w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref):
+    """w8a8 mlp2(gelu(mlp1(ln))) over a (rows, C) fp32 tile; both int8
+    weights VMEM-resident. Matches ops/quant.py's dynamic-quant scheme per
+    matmul: int8 x int8 -> int32 contraction (the MXU's 2x-rate path) with
+    per-row activation x per-column weight fp32 dequant epilogues. The
+    hidden dim runs in chunks so each chunk's VPU work (gelu + requantize)
+    overlaps the next chunk's MXU dots; per-chunk activation scales are a
+    refinement of the unfused path's per-row scale (each hidden chunk gets
+    its own amax), accuracy-neutral-or-better."""
+    hidden = w1q_ref.shape[-1]
+    chunks = 4 if hidden % 4 == 0 else 1
+    ch = hidden // chunks
+    xq, xs = _quant_rows(ln)
+    out = jnp.broadcast_to(b2_ref[...], (ln.shape[0], b2_ref.shape[-1])).astype(jnp.float32)
+    for i in range(chunks):
+        sl = slice(i * ch, (i + 1) * ch)
+        acc = jax.lax.dot_general(
+            xq, w1q_ref[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        h = acc.astype(jnp.float32) * (xs * w1s_ref[:, sl]) + b1_ref[:, sl]
+        h = h * 0.5 * (1.0 + _erf_as(h * (2.0 ** -0.5)))
+        hq, hs = _quant_rows(h)
+        acc2 = jax.lax.dot_general(
+            hq, w2q_ref[sl, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = out + acc2.astype(jnp.float32) * (hs * w2s_ref[...])
+    return out
+
+
+def _ln_mlp_int8_kernel(x_ref, *refs, eps: float, with_attn: bool = True):
+    """out = (x + a) + int8_mlp(LayerNorm(x + a)) — the w8a8 block tail in
+    one pass (see :func:`fused_ln_mlp_int8`)."""
+    if with_attn:
+        a_ref, s_ref, b_ref, w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref, o_ref = refs
+        y = x_ref[...] + a_ref[...]
+    else:
+        s_ref, b_ref, w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref, o_ref = refs
+        y = x_ref[...]
+    ln = _ln_rows(y, s_ref[...], b_ref[...], eps).astype(jnp.float32)
+    out = _int8_mlp_rows(ln, w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref)
+    o_ref[...] = y + out.astype(y.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_rows", "interpret"))
+def fused_ln_mlp_int8(
+    x, attn, scale, bias, w1q, w1s, b1, w2q, w2s, b2,
+    eps: float = 1e-6,
+    block_rows: int = 256,
+    interpret: bool = False,
+):
+    """Fused w8a8 transformer-block tail:
+    ``(x + attn) + int8_mlp2(gelu(int8_mlp1(LayerNorm(x + attn))))``.
+
+    The int8 weights halve the VMEM-residency budget of
+    :func:`fused_ln_mlp` — ViT-B (768x3072 x2 = 4.7 MB) *and* ViT-L
+    (1024x4096 x2 = 8.4 MB) fit — and the int8 x int8 contractions run at
+    2x the bf16 MXU rate on v5e (ops/quant.py module docstring). vs the
+    unfused XLA int8 path (quant.py:int8_linear) this keeps the (rows,
+    hidden) activation, its quantized copy, and the LN out of HBM entirely.
+    Weights come pre-quantized from quantize_linear_params (wq/wscale).
+    ``attn=None`` computes x + int8_mlp(LN(x)).
+    """
+    orig_shape = x.shape
+    c = x.shape[-1]
+    hidden = w1q.shape[-1]
+    m = x.size // c
+    bm = _pick_bm(m, c, block_rows)
+    x2 = x.reshape(m, c)
+    grid = (m // bm,)
+    row = lambda i: (i, 0)
+    full = lambda i: (0, 0)
+    attn_spec = [pl.BlockSpec((bm, c), row)] if attn is not None else []
+    attn_arg = [attn.reshape(m, c)] if attn is not None else []
+    out = pl.pallas_call(
+        functools.partial(_ln_mlp_int8_kernel, eps=eps, with_attn=attn is not None),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, c), row),
+            *attn_spec,
+            pl.BlockSpec((1, c), full),
+            pl.BlockSpec((1, c), full),
+            pl.BlockSpec((c, hidden), full),
+            pl.BlockSpec((1, hidden), full),
+            pl.BlockSpec((1, hidden), full),
+            pl.BlockSpec((hidden, c), full),
+            pl.BlockSpec((1, c), full),
+            pl.BlockSpec((1, c), full),
+        ],
+        out_specs=pl.BlockSpec((bm, c), row),
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        x2,
+        *attn_arg,
+        scale.reshape(1, c).astype(x.dtype),
+        bias.reshape(1, c).astype(x.dtype),
+        w1q,
+        w1s.reshape(1, hidden).astype(jnp.float32),
+        b1.reshape(1, hidden).astype(jnp.float32),
+        w2q,
+        w2s.reshape(1, c).astype(jnp.float32),
+        b2.reshape(1, c).astype(jnp.float32),
+    )
+    return out.reshape(orig_shape)
+
+
 def _ln_matmul_kernel(x_ref, s_ref, b_ref, w_ref, wb_ref, o_ref, *, eps: float):
     """out = LayerNorm(x) @ W + b in one pass (W resident in VMEM)."""
     ln = _ln_rows(x_ref[...], s_ref[...], b_ref[...], eps)
