@@ -261,6 +261,32 @@ def test_fused_ln_mlp_int8_close_to_float_tail():
     assert rel < 0.02, rel
 
 
+def test_fused_ln_matmul_int8_matches_unfused_path():
+    """Interpret-mode fused LN+int8-qkv kernel vs the separate-pass oracle
+    (jnp LayerNorm -> ops/quant.py:int8_linear): identical quant scheme,
+    so agreement is tie-flip-bounded."""
+    from yolo_sam_inference_tpu.ops.fused_ln import fused_ln_matmul_int8
+
+    rng = np.random.default_rng(15)
+    c, o = 128, 384
+    x = jnp.asarray(rng.normal(size=(64, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(1, 0.1, size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, size=(c,)).astype(np.float32))
+    p = quantize_linear_params(
+        {"w": jnp.asarray(rng.normal(0, 0.06, size=(c, o)).astype(np.float32)),
+         "b": jnp.asarray(rng.normal(0, 0.05, size=(o,)).astype(np.float32))})
+    got = np.asarray(fused_ln_matmul_int8(
+        x, scale, bias, p["wq"], p["wscale"], p["b"], interpret=True))
+
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    d = xf - mean
+    inv = jax.lax.rsqrt((d * d).mean(-1, keepdims=True) + 1e-6)
+    ln = (d * inv) * scale + bias
+    want = np.asarray(int8_linear(ln, p["wq"], p["wscale"], p["b"]))
+    _assert_quant_parity(got, want)
+
+
 def test_fused_ln_mlp_int8_bf16_activations():
     from yolo_sam_inference_tpu.ops.fused_ln import fused_ln_mlp_int8
 

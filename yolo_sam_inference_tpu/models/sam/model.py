@@ -161,9 +161,18 @@ def _vision_attention_grid(
         qkv = fused_ln_matmul(
             x, ln["scale"], ln["bias"], p["qkv"]["w"], p["qkv"]["b"], eps=eps
         )
+    elif ln is not None and _INT8_FUSED:
+        # int8 qkv (PipelineOptions.quant): LN + dynamic quant + int8
+        # projection in one kernel (the LN output never round-trips HBM)
+        from ...ops.fused_ln import fused_ln_matmul_int8
+
+        qkv = fused_ln_matmul_int8(
+            x, ln["scale"], ln["bias"],
+            p["qkv"]["wq"], p["qkv"]["wscale"], p["qkv"]["b"], eps=eps
+        )
     elif ln is not None:
-        # int8 qkv (PipelineOptions.quant): LN stays a separate pass, the
-        # 3C^2 projection runs on the MXU int8 path (ops/quant.py)
+        # SAM_INT8_FUSED=0 A/B fallback: separate LN pass + the XLA int8
+        # path (ops/quant.py)
         qkv = apply_linear(p["qkv"], _layer_norm(ln, x, eps))
     else:
         qkv = apply_linear(p["qkv"], x)  # (B, S, S, 3C)

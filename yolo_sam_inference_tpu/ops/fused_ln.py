@@ -508,6 +508,72 @@ def fused_ln_matmul(
     return out.reshape(*orig_shape[:-1], o)
 
 
+def _ln_matmul_int8_kernel(
+    x_ref, s_ref, b_ref, wq_ref, ws_ref, wb_ref, o_ref, *, eps: float
+):
+    """out = int8(LayerNorm(x)) @ wq * scales + b in one pass — the w8a8
+    qkv projection with its LN fused (see :func:`fused_ln_matmul_int8`)."""
+    ln = _ln_rows(x_ref[...], s_ref[...], b_ref[...], eps).astype(jnp.float32)
+    xq, xs = _quant_rows(ln)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (xs * ws_ref[...]) + wb_ref[...]
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_rows", "interpret"))
+def fused_ln_matmul_int8(
+    x, scale, bias, wq, ws, b,
+    eps: float = 1e-6,
+    block_rows: int = 256,
+    interpret: bool = False,
+):
+    """``int8_linear(LayerNorm(x))`` fused — the quantized counterpart of
+    :func:`fused_ln_matmul` for the encoder's LN1 + qkv projection. vs the
+    unfused path (separate LN pass + ops/quant.py:int8_linear) the LN
+    output and its quantized copy never round-trip HBM, and the int8 qkv
+    weight is half the bf16 footprint (ViT-H 1280x3840: 4.9 MB resident).
+    Same dynamic per-row activation scheme as :func:`fused_ln_mlp_int8`.
+    """
+    orig_shape = x.shape
+    c = x.shape[-1]
+    o = wq.shape[-1]
+    m = x.size // c
+    bm = _pick_bm(m, c, block_rows)
+    grid = (m // bm,)
+    row = lambda i: (i, 0)
+    full = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_ln_matmul_int8_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, c), row),
+            pl.BlockSpec((1, c), full),
+            pl.BlockSpec((1, c), full),
+            pl.BlockSpec((c, o), full),
+            pl.BlockSpec((1, o), full),
+            pl.BlockSpec((1, o), full),
+        ],
+        out_specs=pl.BlockSpec((bm, o), row),
+        out_shape=jax.ShapeDtypeStruct((m, o), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        x.reshape(m, c),
+        scale.reshape(1, c).astype(x.dtype),
+        bias.reshape(1, c).astype(x.dtype),
+        wq,
+        ws.reshape(1, o).astype(jnp.float32),
+        b.reshape(1, o).astype(jnp.float32),
+    )
+    return out.reshape(*orig_shape[:-1], o)
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def fused_ln(x, scale, bias, eps: float = 1e-6, interpret: bool = False):
     """LayerNorm(x) * scale + bias in one HBM pass (no residual input)."""
