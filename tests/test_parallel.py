@@ -229,6 +229,53 @@ def test_num_pipelines_maps_to_batch_multiplier():
     assert pipe.num_pipelines == 4
 
 
+def test_tp_encoder_matches_single_device(_tiny_setup):
+    """Tensor-parallel encoder (heads + MLP hidden sharded over 'tp', batch
+    over 'dp') equals the single-device encoder, and the weights are
+    actually sharded (per-device head/hidden slices, not replicas)."""
+    from yolo_sam_inference_tpu.models.sam.model import (
+        init_sam_params,
+        sam_image_encoder,
+    )
+    from yolo_sam_inference_tpu.parallel.mesh import make_mesh
+    from yolo_sam_inference_tpu.parallel.tp import (
+        sam_image_encoder_tp,
+        shard_sam_encoder_tp,
+    )
+
+    scfg, _, _ = _tiny_setup
+    params = init_sam_params(jax.random.PRNGKey(5), scfg)
+    rng = np.random.default_rng(5)
+    pix = jnp.asarray(rng.normal(size=(4, 64, 64, 3)).astype(np.float32))
+
+    ref = np.asarray(sam_image_encoder(params, pix, scfg))
+
+    mesh = make_mesh(dp=4, tp=2)
+    tp_params, tp_specs = shard_sam_encoder_tp(params, scfg, mesh)
+    got = sam_image_encoder_tp(tp_params, tp_specs, pix, scfg, mesh)
+
+    # the qkv weight is head-sharded: each device holds heads/tp = 1 head
+    qkv = tp_params["layers"][0]["attn"]["qkv_w"]
+    assert {s.data.shape for s in qkv.addressable_shards} == {(32, 3, 1, 16)}
+    mlp1 = tp_params["layers"][0]["mlp1"]["w"]
+    assert {s.data.shape for s in mlp1.addressable_shards} == {(32, 32)}
+    # and the output is dp-sharded over the batch
+    assert {s.data.shape[0] for s in got.addressable_shards} == {1}
+
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_requires_divisible_heads(_tiny_setup):
+    from yolo_sam_inference_tpu.models.sam.model import init_sam_params
+    from yolo_sam_inference_tpu.parallel.mesh import make_mesh
+    from yolo_sam_inference_tpu.parallel.tp import shard_sam_encoder_tp
+
+    scfg, _, _ = _tiny_setup  # heads=2: tp=4 must be rejected
+    params = init_sam_params(jax.random.PRNGKey(0), scfg)
+    with pytest.raises(ValueError, match="tp=4 must divide heads=2"):
+        shard_sam_encoder_tp(params, scfg, make_mesh(dp=2, tp=4))
+
+
 # heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
 # quick loop with `pytest -m "not slow" tests/`
 pytestmark = pytest.mark.slow
