@@ -276,6 +276,50 @@ def test_tp_requires_divisible_heads(_tiny_setup):
         shard_sam_encoder_tp(params, scfg, make_mesh(dp=2, tp=4))
 
 
+def test_sp_encoder_matches_single_device(_tiny_setup):
+    """Sequence-parallel encoder (token rows sharded over 'sp', k/v
+    all-gathered at global layers, offset-aware rel-pos) equals the
+    single-device encoder; inputs are actually row-sharded."""
+    from yolo_sam_inference_tpu.models.sam.model import (
+        init_sam_params,
+        sam_image_encoder,
+    )
+    from yolo_sam_inference_tpu.parallel.mesh import make_mesh_axes
+    from yolo_sam_inference_tpu.parallel.sp import sam_image_encoder_sp
+
+    scfg, _, _ = _tiny_setup  # S=8, ws=2, layer 0 windowed + layer 1 global
+    params = init_sam_params(jax.random.PRNGKey(7), scfg)
+    rng = np.random.default_rng(7)
+    pix = jnp.asarray(rng.normal(size=(4, 64, 64, 3)).astype(np.float32))
+
+    ref = np.asarray(sam_image_encoder(params, pix, scfg))
+
+    # sp-only mesh: 4-way sequence shards (2 token rows each)
+    mesh = make_mesh_axes(sp=4, rest=2)  # 'rest' absorbs unused devices
+    mesh = make_mesh_axes(devices=mesh.devices[:, 0].tolist(), sp=4)
+    got = sam_image_encoder_sp(params, pix, scfg, mesh)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+    # dp x sp mesh: batch AND sequence sharded together
+    mesh2 = make_mesh_axes(dp=2, sp=4)
+    got2 = sam_image_encoder_sp(params, pix, scfg, mesh2)
+    assert {s.data.shape[0] for s in got2.addressable_shards} == {2}
+    np.testing.assert_allclose(np.asarray(got2), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_sp_rejects_misaligned_shards(_tiny_setup):
+    from yolo_sam_inference_tpu.models.sam.model import init_sam_params
+    from yolo_sam_inference_tpu.parallel.mesh import make_mesh_axes
+    from yolo_sam_inference_tpu.parallel.sp import sam_image_encoder_sp
+
+    scfg, _, _ = _tiny_setup  # S=8, ws=2: sp=8 leaves 1 row per shard
+    params = init_sam_params(jax.random.PRNGKey(0), scfg)
+    pix = jnp.zeros((2, 64, 64, 3), dtype=jnp.float32)
+    mesh = make_mesh_axes(sp=8)
+    with pytest.raises(ValueError, match="not a[\\s]+multiple of window_size"):
+        sam_image_encoder_sp(params, pix, scfg, mesh)
+
+
 # heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
 # quick loop with `pytest -m "not slow" tests/`
 pytestmark = pytest.mark.slow

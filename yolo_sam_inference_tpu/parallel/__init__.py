@@ -5,16 +5,21 @@ and process pools for CPU work (SURVEY.md §2.6). Here scaling is TPU-native:
 
 * data-parallel inference over a ``jax.sharding.Mesh`` (images sharded on the
   batch axis, weights replicated) — ICI collectives only for metric gathers;
-* optional tensor-parallel sharding of the SAM ViT encoder for large models;
+* optional tensor-parallel sharding of the SAM ViT encoder for large models
+  (``tp.py``: weights sharded, activations replicated);
+* optional sequence-parallel sharding of the encoder token grid
+  (``sp.py``: activations sharded, weights replicated — the
+  past-the-single-chip-roofline lever for ViT-H latency);
 * multi-host folder sharding by ``jax.process_index()`` striding with
   per-host CSV shards (``multihost.py``).
 """
 
-from .mesh import make_mesh, data_sharding, replicate_sharding
+from .mesh import make_mesh, make_mesh_axes, data_sharding, replicate_sharding
 from .train import sam_decoder_train_step, make_train_state
 
 __all__ = [
     "make_mesh",
+    "make_mesh_axes",
     "data_sharding",
     "replicate_sharding",
     "sam_decoder_train_step",

@@ -31,6 +31,22 @@ def make_mesh(
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
+def make_mesh_axes(devices: Optional[Sequence] = None, **axes: int) -> Mesh:
+    """Mesh with arbitrary named axes, e.g. ``make_mesh_axes(dp=2, sp=4)``.
+
+    Axes are laid out major-to-minor in keyword order, so the *last* axis
+    falls on contiguous devices — put the highest-bandwidth axis (tp/sp,
+    whose collectives are per-layer) last so its traffic rides the
+    tightest ICI ring.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = int(np.prod(list(axes.values())))
+    if n != len(devices):
+        raise ValueError(f"{axes} needs {n} devices, have {len(devices)}")
+    arr = np.asarray(devices).reshape(tuple(axes.values()))
+    return Mesh(arr, axis_names=tuple(axes.keys()))
+
+
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard the leading (batch) axis over 'dp'; replicate the rest."""
     return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
