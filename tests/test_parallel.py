@@ -320,6 +320,51 @@ def test_sp_rejects_misaligned_shards(_tiny_setup):
         sam_image_encoder_sp(params, pix, scfg, mesh)
 
 
+def test_pp_encoder_matches_single_device(_tiny_setup):
+    """GPipe pipeline-parallel encoder (layer stages over 'pp', microbatches
+    hopping via ppermute) equals the single-device encoder, and each stage
+    actually holds only its own layers."""
+    from yolo_sam_inference_tpu.models.sam.model import (
+        init_sam_params,
+        sam_image_encoder,
+    )
+    from yolo_sam_inference_tpu.parallel.mesh import make_mesh_axes
+    from yolo_sam_inference_tpu.parallel.pp import sam_image_encoder_pp
+
+    scfg, _, _ = _tiny_setup  # 2 layers -> 2 stages of 1 layer
+    params = init_sam_params(jax.random.PRNGKey(9), scfg)
+    rng = np.random.default_rng(9)
+    pix = jnp.asarray(rng.normal(size=(4, 64, 64, 3)).astype(np.float32))
+
+    ref = np.asarray(sam_image_encoder(params, pix, scfg))
+    mesh = make_mesh_axes(devices=jax.devices()[:2], pp=2)
+    got = sam_image_encoder_pp(params, pix, scfg, mesh, microbatches=4)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+    # more microbatches than the default (deeper pipeline, smaller bubble)
+    got2 = sam_image_encoder_pp(params, pix, scfg, mesh, microbatches=2)
+    np.testing.assert_allclose(np.asarray(got2), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pp_rejects_bad_partitions(_tiny_setup):
+    from yolo_sam_inference_tpu.models.sam.model import init_sam_params
+    from yolo_sam_inference_tpu.parallel.mesh import make_mesh_axes
+    from yolo_sam_inference_tpu.parallel.pp import sam_image_encoder_pp
+
+    scfg, _, _ = _tiny_setup
+    params = init_sam_params(jax.random.PRNGKey(0), scfg)
+    pix = jnp.zeros((4, 64, 64, 3), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="must divide vision_layers"):
+        sam_image_encoder_pp(
+            params, pix, scfg, make_mesh_axes(devices=jax.devices()[:3], pp=3)
+        )
+    with pytest.raises(ValueError, match="must divide batch"):
+        sam_image_encoder_pp(
+            params, pix, scfg, make_mesh_axes(devices=jax.devices()[:2], pp=2),
+            microbatches=3,
+        )
+
+
 # heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
 # quick loop with `pytest -m "not slow" tests/`
 pytestmark = pytest.mark.slow

@@ -10,6 +10,8 @@ and process pools for CPU work (SURVEY.md §2.6). Here scaling is TPU-native:
 * optional sequence-parallel sharding of the encoder token grid
   (``sp.py``: activations sharded, weights replicated — the
   past-the-single-chip-roofline lever for ViT-H latency);
+* optional pipeline-parallel stage splitting (``pp.py``: GPipe microbatches
+  over ppermute hops — the memory-bound fallback axis);
 * multi-host folder sharding by ``jax.process_index()`` striding with
   per-host CSV shards (``multihost.py``).
 """
