@@ -261,6 +261,73 @@ def test_fused_ln_mlp_int8_close_to_float_tail():
     assert rel < 0.02, rel
 
 
+def test_fused_ln_mlp_tiled_int8_matches_oracle():
+    """Interpret-mode weight-tiled w8a8 tail == the jnp oracle with
+    chunks = hidden tiles (per-tile activation scales): the ViT-H int8
+    path, where the MLP exceeds even the int8 VMEM-residency budget."""
+    from yolo_sam_inference_tpu.ops.fused_ln import fused_ln_mlp_tiled_int8
+
+    rng = np.random.default_rng(17)
+    x, a, scale, bias, p1, p2 = _int8_tail_case(rng)
+    # force 4 hidden tiles of 128 and 2 row blocks of 32
+    got = np.asarray(fused_ln_mlp_tiled_int8(
+        x, a, scale, bias, p1["wq"], p1["wscale"], p1["b"],
+        p2["wq"], p2["wscale"], p2["b"],
+        block_rows=32, block_hidden=128, interpret=True))
+    want = np.asarray(_oracle_int8_tail(
+        x, a, scale, bias, p1["wq"], p1["wscale"], p1["b"],
+        p2["wq"], p2["wscale"], p2["b"], chunks=4))
+    _assert_quant_parity(got, want)
+
+
+def test_fused_ln_mlp_tiled_int8_single_tile_equals_resident():
+    """With one hidden tile the tiled kernel is the resident kernel's
+    scheme with chunks=1 — both must match the chunks=1 oracle."""
+    from yolo_sam_inference_tpu.ops.fused_ln import fused_ln_mlp_tiled_int8
+
+    rng = np.random.default_rng(18)
+    x, a, scale, bias, p1, p2 = _int8_tail_case(rng)
+    got = np.asarray(fused_ln_mlp_tiled_int8(
+        x, a, scale, bias, p1["wq"], p1["wscale"], p1["b"],
+        p2["wq"], p2["wscale"], p2["b"],
+        block_hidden=512, interpret=True))
+    want = np.asarray(_oracle_int8_tail(
+        x, a, scale, bias, p1["wq"], p1["wscale"], p1["b"],
+        p2["wq"], p2["wscale"], p2["b"], chunks=1))
+    _assert_quant_parity(got, want)
+
+
+def test_fused_ln_mlp_tiled_int8_close_to_float_tail():
+    """The tiled w8a8 tail's MLP contribution stays within quantization
+    error of the exact fp32 tiled kernel on the same weights."""
+    from yolo_sam_inference_tpu.ops.fused_ln import (
+        fused_ln_mlp_tiled,
+        fused_ln_mlp_tiled_int8,
+    )
+
+    rng = np.random.default_rng(19)
+    c, hidden = 128, 512
+    x = jnp.asarray(rng.normal(size=(64, c)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(64, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(1, 0.1, size=(c,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, size=(c,)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(0, 0.06, size=(c, hidden)).astype(np.float32))
+    b1 = jnp.asarray(rng.normal(0, 0.05, size=(hidden,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(0, 0.06, size=(hidden, c)).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(0, 0.05, size=(c,)).astype(np.float32))
+    p1 = quantize_linear_params({"w": w1, "b": b1})
+    p2 = quantize_linear_params({"w": w2, "b": b2})
+    exact = np.asarray(fused_ln_mlp_tiled(x, a, scale, bias, w1, b1, w2, b2,
+                                          interpret=True))
+    q = np.asarray(fused_ln_mlp_tiled_int8(
+        x, a, scale, bias, p1["wq"], p1["wscale"], p1["b"],
+        p2["wq"], p2["wscale"], p2["b"],
+        block_rows=32, block_hidden=128, interpret=True))
+    y = np.asarray(x + a)
+    rel = np.linalg.norm(q - exact) / np.linalg.norm(exact - y)
+    assert rel < 0.02, rel
+
+
 def test_fused_ln_matmul_int8_matches_unfused_path():
     """Interpret-mode fused LN+int8-qkv kernel vs the separate-pass oracle
     (jnp LayerNorm -> ops/quant.py:int8_linear): identical quant scheme,

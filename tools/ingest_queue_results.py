@@ -32,6 +32,9 @@ TAGS = {
     "vitb_int8_nofused": ("config 1 int8 SAM_INT8_FUSED=0 (A/B)", 503.2),
     "vitl_int8_nofused": ("config 3 int8 SAM_INT8_FUSED=0 (A/B)", 133.0),
     "default_refresh": ("config 1 final warm refresh (.bench_last.json)", 503.2),
+    "vith2048_int8_tiled": ("config 4 int8 + tiled int8 MLP kernel", 15.25),
+    "vith2048_int8_notiled": ("config 4 int8 SAM_TILED_MLP=0 (A/B)", 15.25),
+    "default_refresh2": ("config 1 final warm refresh, queue3", 503.2),
 }
 
 

@@ -335,7 +335,7 @@ def sam_image_encoder(
         )
         # int8 weights halve the residency budget: ViT-B AND ViT-L MLPs fit
         # (4.7 / 8.4 MB); ViT-H (13.1 MB) leaves no room for the activation
-        # blocks and stays on the unfused XLA int8 path.
+        # blocks and takes the weight-tiled int8 kernel instead.
         fuse_tail_int8 = (
             quantized and _INT8_FUSED
             and cfg.vision_hidden * cfg.vision_mlp_dim <= 4_500_000
@@ -365,6 +365,21 @@ def sam_image_encoder(
                 from ...ops.fused_ln import fused_ln_mlp_int8
 
                 x = fused_ln_mlp_int8(
+                    x, h,
+                    lp["ln2"]["scale"], lp["ln2"]["bias"],
+                    lp["mlp1"]["wq"], lp["mlp1"]["wscale"], lp["mlp1"]["b"],
+                    lp["mlp2"]["wq"], lp["mlp2"]["wscale"], lp["mlp2"]["b"],
+                    eps=cfg.layer_norm_eps,
+                )
+            elif quantized and _INT8_FUSED and _TILED_MLP:
+                # ViT-H int8: MLP exceeds even the int8 VMEM-residency
+                # budget — stream int8 weight tiles (2x MXU rate + no
+                # (rows, hidden) HBM round-trips). Either kill switch
+                # (SAM_INT8_FUSED=0 / SAM_TILED_MLP=0) reverts to the
+                # unfused XLA int8 path for device A/B.
+                from ...ops.fused_ln import fused_ln_mlp_tiled_int8
+
+                x = fused_ln_mlp_tiled_int8(
                     x, h,
                     lp["ln2"]["scale"], lp["ln2"]["bias"],
                     lp["mlp1"]["wq"], lp["mlp1"]["wscale"], lp["mlp1"]["b"],

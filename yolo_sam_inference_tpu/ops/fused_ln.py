@@ -453,6 +453,136 @@ def fused_ln_mlp_int8(
     return out.reshape(orig_shape)
 
 
+def _ln_mlp_tiled_int8_kernel(
+    x_ref, a_ref, s_ref, b_ref, w1q_ref, w1s_ref, b1_ref,
+    w2q_ref, w2s_ref, b2_ref, o_ref, acc_ref,
+    *, eps: float, nk: int,
+):
+    """Weight-tiled w8a8 block tail: grid (row blocks, hidden tiles), int8
+    weight tiles streaming through VMEM, fp32 partial-sum accumulator in
+    scratch. LN + activation quantization are *recomputed* per tile step
+    (identical inputs => identical integers) instead of held in scratch:
+    the recompute is cheap VPU work against the tile's two MXU
+    contractions, and it keeps the scratch footprint to the one proven
+    (bm, C) fp32 accumulator shape the bf16 tiled kernel already uses.
+    Per-hidden-tile activation scales play the role of the resident
+    kernel's per-chunk scales (oracle: chunks = nk)."""
+    k = pl.program_id(1)
+    y = x_ref[...] + a_ref[...]
+    ln = _ln_rows(y, s_ref[...], b_ref[...], eps).astype(jnp.float32)
+    xq, xs = _quant_rows(ln)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.broadcast_to(b2_ref[...], acc_ref.shape)
+
+    acc1 = jax.lax.dot_general(
+        xq, w1q_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h = acc1.astype(jnp.float32) * (xs * w1s_ref[...]) + b1_ref[...]
+    h = h * 0.5 * (1.0 + _erf_as(h * (2.0 ** -0.5)))
+    hq, hs = _quant_rows(h)
+    acc2 = jax.lax.dot_general(
+        hq, w2q_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_ref[...] += acc2.astype(jnp.float32) * (hs * w2s_ref[...])
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[...] = y + acc_ref[...].astype(y.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "block_rows", "block_hidden", "interpret")
+)
+def fused_ln_mlp_tiled_int8(
+    x, attn, scale, bias, w1q, w1s, b1, w2q, w2s, b2,
+    eps: float = 1e-6,
+    block_rows: int = 256,
+    block_hidden: int = 0,
+    interpret: bool = False,
+):
+    """w8a8 block tail for MLPs too big even for int8 VMEM residency:
+    ``(x + attn) + int8_mlp2(gelu(int8_mlp1(LayerNorm(x + attn))))`` with
+    the hidden dim tiled over the innermost grid dimension.
+
+    ViT-H's int8 MLP weights (1280x5120 x2 = 13.1 MB) exceed
+    :func:`fused_ln_mlp_int8`'s residency budget and previously fell back
+    to the unfused XLA int8 path (ops/quant.py), which round-trips the
+    (rows, hidden) GELU activation plus its quantized copy through HBM
+    every layer. Here int8 weight tiles stream double-buffered at half
+    the bf16 tile bytes while the int8xint8->int32 contractions run at
+    the MXU's 2x rate — the quantization lever and the fusion lever in
+    one kernel. ``block_hidden`` (tests) forces the tile size.
+    """
+    orig_shape = x.shape
+    c = x.shape[-1]
+    hidden = w1q.shape[-1]
+    m = x.size // c
+    bm = _pick_bm(m, c, block_rows)
+    if block_hidden:
+        ht = block_hidden
+        assert hidden % ht == 0, (hidden, ht)
+    else:
+        # largest divisor of hidden keeping the double-buffered int8 tile
+        # pair + the fp32 accumulator under ~10 MB
+        ht = hidden
+        while ht > 128 and (4 * c * ht + bm * c * 4) > 10_000_000:
+            nxt = ht // 2
+            while hidden % nxt and nxt > 128:
+                nxt -= 1
+            if nxt == ht or hidden % nxt:
+                break
+            ht = nxt
+    nk = hidden // ht
+    x2 = x.reshape(m, c)
+    a2 = attn.reshape(m, c)
+    grid = (m // bm, nk)
+    row = lambda i, k: (i, 0)
+    full = lambda i, k: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_ln_mlp_tiled_int8_kernel, eps=eps, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, c), row),
+            pl.BlockSpec((bm, c), row),
+            pl.BlockSpec((1, c), full),
+            pl.BlockSpec((1, c), full),
+            pl.BlockSpec((c, ht), lambda i, k: (0, k)),
+            pl.BlockSpec((1, ht), lambda i, k: (0, k)),
+            pl.BlockSpec((1, ht), lambda i, k: (0, k)),
+            pl.BlockSpec((ht, c), lambda i, k: (k, 0)),
+            pl.BlockSpec((1, c), full),
+            pl.BlockSpec((1, c), full),
+        ],
+        out_specs=pl.BlockSpec((bm, c), row),
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, c), jnp.float32),  # fp32 partial-sum accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        x2,
+        a2,
+        scale.reshape(1, c).astype(x.dtype),
+        bias.reshape(1, c).astype(x.dtype),
+        w1q,
+        w1s.reshape(1, hidden).astype(jnp.float32),
+        b1.reshape(1, hidden).astype(jnp.float32),
+        w2q,
+        w2s.reshape(1, c).astype(jnp.float32),
+        b2.reshape(1, c).astype(jnp.float32),
+    )
+    return out.reshape(orig_shape)
+
+
 def _ln_matmul_kernel(x_ref, s_ref, b_ref, w_ref, wb_ref, o_ref, *, eps: float):
     """out = LayerNorm(x) @ W + b in one pass (W resident in VMEM)."""
     ln = _ln_rows(x_ref[...], s_ref[...], b_ref[...], eps)
