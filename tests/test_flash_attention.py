@@ -34,6 +34,35 @@ def test_flash_matches_reference(grid_s, block_q, block_k):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
 
 
+def test_flash_partial_q_rows_match_full():
+    """A row-aligned q subset (the sequence-parallel encoder's local block)
+    returns exactly the matching rows of the full-q result — the folded
+    bias is q/k-separable, so nq < nk needs only the subset's own tables."""
+    rng = np.random.default_rng(3)
+    grid_s, bh, hd = 8, 2, 32
+    n = grid_s * grid_s
+    q = rng.normal(size=(bh, n, hd)).astype(np.float32)
+    k = rng.normal(size=(bh, n, hd)).astype(np.float32)
+    v = rng.normal(size=(bh, n, hd)).astype(np.float32)
+    rh = rng.normal(size=(bh, n, grid_s)).astype(np.float32) * 0.5
+    rw = rng.normal(size=(bh, n, grid_s)).astype(np.float32) * 0.5
+
+    full = reference_attention_relpos(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(rh), jnp.asarray(rw), grid_s,
+    )
+    # shard 1 of 4: rows [16, 32) of the 64-token grid
+    sl = slice(16, 32)
+    got = flash_attention_relpos(
+        jnp.asarray(q[:, sl]), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(rh[:, sl]), jnp.asarray(rw[:, sl]),
+        grid_s=grid_s, block_q=16, block_k=32, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(full)[:, sl], rtol=2e-4, atol=2e-5
+    )
+
+
 def test_flash_extreme_logits_stable():
     """Online softmax must survive large-magnitude logits."""
     rng = np.random.default_rng(1)

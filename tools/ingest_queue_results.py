@@ -40,14 +40,20 @@ TAGS = {
 
 def main(path: str = "/tmp/tpu_queue_results.jsonl") -> None:
     latest = {}
+    bad_lines = 0
     try:
         with open(path) as f:
             for raw in f:
                 raw = raw.strip()
                 if not raw:
                     continue
-                rec = json.loads(raw)
-                latest[rec.get("tag", "?")] = rec.get("line", {})
+                try:
+                    rec = json.loads(raw)
+                    latest[rec.get("tag", "?")] = rec.get("line", {})
+                except (json.JSONDecodeError, AttributeError):
+                    # a truncated line (writer killed mid-append) must not
+                    # take down the report for the valid records around it
+                    bad_lines += 1
     except FileNotFoundError:
         print(f"no results yet: {path} missing")
         return
@@ -79,6 +85,8 @@ def main(path: str = "/tmp/tpu_queue_results.jsonl") -> None:
         if tag not in TAGS:
             print(f"| {tag} | (unknown tag) | {line.get('value', '—')} | | |")
 
+    if bad_lines:
+        anomalies.append(f"{bad_lines} malformed JSONL line(s) skipped")
     if anomalies:
         print("\nAnomalies:")
         for a in anomalies:

@@ -12,6 +12,10 @@ echo "=== queue3 start $(date) ===" >> "$LOG"
 
 PRIOR_PID=$(cat /tmp/tpu_queue2.pid 2>/dev/null)
 while true; do
+  if [ ! -f /tmp/tpu_queue2.log ] && [ -z "$PRIOR_PID" ]; then
+    echo "queue2 never ran here; proceeding $(date)" >> "$LOG"
+    break
+  fi
   if grep -q "queue2 complete" /tmp/tpu_queue2.log 2>/dev/null; then
     echo "queue2 complete $(date)" >> "$LOG"
     break

@@ -126,22 +126,29 @@ def flash_attention_relpos(
     """Flash attention with decomposed rel-pos bias.
 
     Args:
-        q, k, v: (BH, N, hd) with N = grid_s**2.
-        rh, rw: (BH, N, grid_s) rel-pos score tables (see module docstring).
-        grid_s: token-grid side length S.
+        q: (BH, NQ, hd). NQ may be a row-aligned *subset* of the k/v grid
+            (NQ = N / sp for the sequence-parallel encoder's local q rows —
+            the bias is q/k-separable: the q side carries its own rh/rw
+            score tables, the k side only one-hot grid positions, so a
+            partial q block needs nothing but its own tables).
+        k, v: (BH, N, hd) with N = grid_s**2.
+        rh, rw: (BH, NQ, grid_s) rel-pos score tables (see module docstring).
+        grid_s: token-grid side length S of the k/v grid.
         block_q/block_k: tile sizes; block_k % grid_s == 0.
         interpret: run in Pallas interpreter mode (CPU tests).
 
     Returns:
-        (BH, N, hd) attention output, dtype of v. Softmax is fp32 throughout.
+        (BH, NQ, hd) attention output, dtype of v. Softmax is fp32 throughout.
     """
-    bh, n, hd = q.shape
+    bh, nq, hd = q.shape
+    n = k.shape[1]
     assert n == grid_s * grid_s, (n, grid_s)
-    block_q = min(block_q, n)
+    assert nq % grid_s == 0, (nq, grid_s)
+    block_q = min(block_q, nq)
     block_k = min(block_k, n)
-    assert n % block_q == 0 and n % block_k == 0
+    assert nq % block_q == 0 and n % block_k == 0
     assert block_k % grid_s == 0
-    num_q = n // block_q
+    num_q = nq // block_q
     num_k = n // block_k
     chunks = block_k // grid_s
     scale = hd ** -0.5
@@ -195,7 +202,7 @@ def flash_attention_relpos(
             pl.BlockSpec((1, block_q, grid_s), lambda b, qi, ki: (b, qi, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, hd_out), lambda b, qi, ki: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n, hd_out), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, hd_out), v.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),

@@ -56,7 +56,9 @@ from .sp import _window_attention_local
 Params = Dict[str, Any]
 
 
-def _global_attention_full(a: Params, h: jnp.ndarray, heads: int) -> jnp.ndarray:
+def _global_attention_full(
+    a: Params, h: jnp.ndarray, heads: int, use_rel_pos: bool
+) -> jnp.ndarray:
     """Global attention on the full (B, S, S, C) grid, einsum path —
     numerics of ``_vision_attention``'s non-flash branch."""
     b, s, _, c = h.shape
@@ -69,30 +71,45 @@ def _global_attention_full(a: Params, h: jnp.ndarray, heads: int) -> jnp.ndarray
         "bhqc,bhkc->bhqk", q * (hd**-0.5), k,
         preferred_element_type=jnp.float32,
     ).astype(h.dtype)
-    bias = _vision_rel_bias(q, a["rel_pos_h"], a["rel_pos_w"], s)
-    logits = logits + bias.astype(h.dtype)
+    if use_rel_pos:
+        bias = _vision_rel_bias(q, a["rel_pos_h"], a["rel_pos_w"], s)
+        logits = logits + bias.astype(h.dtype)
     attn = _softmax_fp32(logits).astype(v.dtype)
     out = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
     return _linear(a["proj"], out).reshape(b, s, s, c)
 
 
-def _stack_stage_layers(v: Params, cfg: SamTPUConfig) -> Params:
-    """Stack per-layer trees along a leading axis, rel tables padded to the
-    global (2S-1, hd) shape so windowed and global layers stack."""
+def stack_sam_encoder_pp(params: Params, cfg: SamTPUConfig, mesh: Mesh) -> Params:
+    """Stack per-layer trees along a leading layer axis and place the stack
+    P('pp')-sharded; rel tables are zero-padded to the global (2S-1, hd)
+    shape so windowed and global layers stack.
+
+    The stack is assembled on the HOST (numpy) and device_put with the
+    sharding in one step, so no single device ever materializes the whole
+    model — the point of PP is relieving per-chip HBM, and a full-model
+    jnp.stack on the default device would defeat it before the pipeline
+    ever ran.
+    """
     d2 = 2 * cfg.grid_size - 1
 
     def pad_tab(t):
-        return jnp.pad(t, ((0, d2 - t.shape[0]), (0, 0)))
+        t = np.asarray(t)
+        return np.pad(t, ((0, d2 - t.shape[0]), (0, 0)))
 
     norm = []
-    for lp in v["layers"]:
+    for lp in params["vision"]["layers"]:
         lp = dict(lp)
         lp["attn"] = dict(lp["attn"])
         lp["attn"]["rel_pos_h"] = pad_tab(lp["attn"]["rel_pos_h"])
         lp["attn"]["rel_pos_w"] = pad_tab(lp["attn"]["rel_pos_w"])
         norm.append(lp)
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *norm)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *norm
+    )
+    return jax.tree_util.tree_map(
+        lambda t: jax.device_put(t, NamedSharding(mesh, P("pp"))), stacked
+    )
 
 
 def sam_image_encoder_pp(
@@ -101,13 +118,15 @@ def sam_image_encoder_pp(
     cfg: SamTPUConfig,
     mesh: Mesh,
     microbatches: Optional[int] = None,
+    stacked: Optional[Params] = None,
 ) -> jnp.ndarray:
     """Pipeline-parallel SAM image encoder on a mesh with a 'pp' axis.
 
     ``pixel_values``: (B, H, W, 3) normalized pixels. Requires
     ``vision_layers % pp == 0`` and ``B % microbatches == 0``
     (``microbatches`` defaults to ``pp``). Returns (B, gs, gs, out_c),
-    replicated.
+    replicated. Pass ``stacked`` (from :func:`stack_sam_encoder_pp`) to
+    skip the per-call host stack+placement of the layer weights.
     """
     pp = int(mesh.shape["pp"])
     nl = cfg.vision_layers
@@ -118,8 +137,7 @@ def sam_image_encoder_pp(
     if b % m:
         raise ValueError(f"microbatches={m} must divide batch={b}")
     mb = b // m
-    s, ws, heads = cfg.grid_size, cfg.window_size, cfg.vision_heads
-    eps = cfg.layer_norm_eps
+    s = cfg.grid_size
 
     v = params["vision"]
     ps = cfg.patch_size
@@ -132,18 +150,31 @@ def sam_image_encoder_pp(
     c = x.shape[-1]
     x_mb = x.reshape(m, mb, s, s, c)
 
-    stacked = _stack_stage_layers(v, cfg)
-    flags = jnp.asarray(
-        [i in cfg.global_attn_indexes for i in range(nl)], dtype=bool
+    if stacked is None:
+        stacked = stack_sam_encoder_pp(params, cfg, mesh)
+    flags = jax.device_put(
+        jnp.asarray(
+            [i in cfg.global_attn_indexes for i in range(nl)], dtype=bool
+        ),
+        NamedSharding(mesh, P("pp")),
     )
+    x_mb = jax.device_put(x_mb, NamedSharding(mesh, P()))
 
-    def put(t, spec):
-        return jax.device_put(t, NamedSharding(mesh, spec))
+    treedef = jax.tree_util.tree_structure(stacked)
+    run = _pp_runner(cfg, mesh, pp, m, treedef)
+    y = run(stacked, flags, x_mb).reshape(b, s, s, c)
+    return _encoder_neck(v, y)
 
-    stacked = jax.tree_util.tree_map(lambda t: put(t, P("pp")), stacked)
-    stage_specs = jax.tree_util.tree_map(lambda _: P("pp"), stacked)
-    flags = put(flags, P("pp"))
-    x_mb = put(x_mb, P())
+
+@functools.lru_cache(maxsize=8)
+def _pp_runner(cfg: SamTPUConfig, mesh: Mesh, pp: int, m: int, treedef):
+    """Jitted GPipe schedule, cached per (cfg, mesh, microbatches, param
+    layout) so repeated calls reuse one trace/compile."""
+    s, ws, heads = cfg.grid_size, cfg.window_size, cfg.vision_heads
+    eps = cfg.layer_norm_eps
+    stage_specs = jax.tree_util.tree_unflatten(
+        treedef, [P("pp")] * treedef.num_leaves
+    )
 
     @jax.jit
     @functools.partial(
@@ -163,8 +194,12 @@ def sam_image_encoder_pp(
                 a = lpi["attn"]
                 h = jax.lax.cond(
                     isg,
-                    lambda hh: _global_attention_full(a, hh, heads),
-                    lambda hh: _window_attention_local(a, hh, heads, ws),
+                    lambda hh: _global_attention_full(
+                        a, hh, heads, cfg.use_rel_pos
+                    ),
+                    lambda hh: _window_attention_local(
+                        a, hh, heads, ws, cfg.use_rel_pos
+                    ),
                     h,
                 )
                 xi = xi + h
@@ -202,5 +237,4 @@ def sam_image_encoder_pp(
         outs = jnp.where(stage == pp - 1, outs, jnp.zeros_like(outs))
         return jax.lax.psum(outs, "pp")
 
-    y = run(stacked, flags, x_mb).reshape(b, s, s, c)
-    return _encoder_neck(v, y)
+    return run

@@ -53,12 +53,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.sam.config import SamTPUConfig
 from ..models.sam.model import (
+    _FLASH_MIN_GRID,
     _encoder_neck,
     _gelu,
     _layer_norm,
     _linear,
     _softmax_fp32,
 )
+from ..ops.flash_attention import flash_attention_relpos
 
 Params = Dict[str, Any]
 
@@ -81,7 +83,7 @@ def _win_unpart_rect(win: jnp.ndarray, ws: int, b: int, hh: int, ww: int) -> jnp
 
 
 def _window_attention_local(
-    a: Params, h: jnp.ndarray, heads: int, ws: int
+    a: Params, h: jnp.ndarray, heads: int, ws: int, use_rel_pos: bool = True
 ) -> jnp.ndarray:
     """Windowed attention on a row-block shard: all windows are local."""
     b, hl, ww, c = h.shape
@@ -95,18 +97,19 @@ def _window_attention_local(
         "bhqc,bhkc->bhqk", q * (hd**-0.5), k,
         preferred_element_type=jnp.float32,
     ).astype(h.dtype)
-    # window-local rel-pos: static (ws, ws) index tables, same as the
-    # single-device _vision_rel_bias at size=ws
-    idx = np.arange(ws)[:, None] - np.arange(ws)[None, :] + ws - 1
-    rh_t = a["rel_pos_h"][idx]  # (ws, ws, hd)
-    rw_t = a["rel_pos_w"][idx]
-    qg = q.reshape(-1, heads, ws, ws, hd)
-    bias_h = jnp.einsum("bhqwc,qkc->bhqwk", qg, rh_t)
-    bias_w = jnp.einsum("bhqwc,wkc->bhqwk", qg, rw_t)
-    bias = (bias_h[..., :, None] + bias_w[..., None, :]).reshape(
-        -1, heads, n, n
-    )
-    logits = logits + bias.astype(h.dtype)
+    if use_rel_pos:
+        # window-local rel-pos: static (ws, ws) index tables, same as the
+        # single-device _vision_rel_bias at size=ws
+        idx = np.arange(ws)[:, None] - np.arange(ws)[None, :] + ws - 1
+        rh_t = a["rel_pos_h"][idx]  # (ws, ws, hd)
+        rw_t = a["rel_pos_w"][idx]
+        qg = q.reshape(-1, heads, ws, ws, hd)
+        bias_h = jnp.einsum("bhqwc,qkc->bhqwk", qg, rh_t)
+        bias_w = jnp.einsum("bhqwc,wkc->bhqwk", qg, rw_t)
+        bias = (bias_h[..., :, None] + bias_w[..., None, :]).reshape(
+            -1, heads, n, n
+        )
+        logits = logits + bias.astype(h.dtype)
     attn = _softmax_fp32(logits).astype(v.dtype)
     out = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(-1, n, c)
@@ -115,13 +118,18 @@ def _window_attention_local(
 
 
 def _global_attention_sp(
-    a: Params, h: jnp.ndarray, heads: int, s: int, sp_axis: str
+    a: Params, h: jnp.ndarray, heads: int, s: int, sp_axis: str,
+    use_rel_pos: bool = True,
 ) -> jnp.ndarray:
     """Global attention with local q rows vs all-gathered k/v.
 
     h: (B, S/sp, S, C) — this shard's row block. The rel-pos height bias is
     rebuilt at the shard's absolute rows (offset = axis_index * rows_local);
-    the width bias is fully local (all columns are present).
+    the width bias is fully local (all columns are present). On TPU at
+    S >= 32 the local q block runs through the same flash kernel as the
+    single-chip path (``flash_attention_relpos`` accepts a row-aligned q
+    subset — the folded bias is q/k-separable); the einsum branch is the
+    CPU-mesh / small-grid oracle.
     """
     b, hl, ww, c = h.shape
     hd = c // heads
@@ -134,26 +142,49 @@ def _global_attention_sp(
     k_full = jax.lax.all_gather(k, sp_axis, axis=2, tiled=True)
     v_full = jax.lax.all_gather(v, sp_axis, axis=2, tiled=True)
 
-    logits = jnp.einsum(
-        "bhqc,bhkc->bhqk", q * (hd**-0.5), k_full,
-        preferred_element_type=jnp.float32,
-    ).astype(h.dtype)
+    if use_rel_pos:
+        off = jax.lax.axis_index(sp_axis) * hl
+        rows = jnp.arange(hl) + off  # absolute q rows (traced)
+        rel_h = rows[:, None] - jnp.arange(s)[None, :] + s - 1  # (hl, s)
+        rh_t = jnp.take(a["rel_pos_h"], rel_h, axis=0)  # (hl, s, hd)
+        idx_w = np.arange(s)[:, None] - np.arange(s)[None, :] + s - 1
+        rw_t = a["rel_pos_w"][idx_w]  # (s, s, hd)
 
-    off = jax.lax.axis_index(sp_axis) * hl
-    rows = jnp.arange(hl) + off  # absolute q rows (traced)
-    rel_h = rows[:, None] - jnp.arange(s)[None, :] + s - 1  # (hl, s)
-    rh_t = jnp.take(a["rel_pos_h"], rel_h, axis=0)  # (hl, s, hd)
-    idx_w = np.arange(s)[:, None] - np.arange(s)[None, :] + s - 1
-    rw_t = a["rel_pos_w"][idx_w]  # (s, s, hd)
-    qg = q.reshape(b, heads, hl, ww, hd)
-    bias_h = jnp.einsum("bhqwc,qkc->bhqwk", qg, rh_t)  # (B,H,hl,s,kh)
-    bias_w = jnp.einsum("bhqwc,wkc->bhqwk", qg, rw_t)  # (B,H,hl,s,kw)
-    bias = (bias_h[..., :, None] + bias_w[..., None, :]).reshape(
-        b, heads, nl, s * s
-    )
-    logits = logits + bias.astype(h.dtype)
-    attn = _softmax_fp32(logits).astype(v_full.dtype)
-    out = jnp.einsum("bhqk,bhkc->bhqc", attn, v_full)  # (B, H, nl, hd)
+    if use_rel_pos and s >= _FLASH_MIN_GRID and jax.default_backend() != "cpu":
+        # flash path (same kernel + tile policy as model.py's global
+        # layers): no materialized (nl, S^2) logits, bias folded into the
+        # contraction via the local q rows' score tables
+        n = s * s
+        qg = q.reshape(b, heads, hl, ww, hd).astype(jnp.float32)
+        rh = jnp.einsum(
+            "bhqwc,qkc->bhqwk", qg, rh_t.astype(jnp.float32)
+        ).reshape(b * heads, nl, s)
+        rw = jnp.einsum(
+            "bhqwc,wkc->bhqwk", qg, rw_t.astype(jnp.float32)
+        ).reshape(b * heads, nl, s)
+        bq = max(d for d in range(8, min(1024, nl) + 1, 8) if nl % d == 0)
+        bk = max(m for m in range(s, min(1024, n) + 1, s) if n % m == 0)
+        out = flash_attention_relpos(
+            q.reshape(b * heads, nl, hd),
+            k_full.reshape(b * heads, n, hd),
+            v_full.reshape(b * heads, n, hd),
+            rh, rw, grid_s=s, block_q=bq, block_k=bk,
+        ).reshape(b, heads, nl, hd)
+    else:
+        logits = jnp.einsum(
+            "bhqc,bhkc->bhqk", q * (hd**-0.5), k_full,
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype)
+        if use_rel_pos:
+            qg = q.reshape(b, heads, hl, ww, hd)
+            bias_h = jnp.einsum("bhqwc,qkc->bhqwk", qg, rh_t)  # (B,H,hl,s,kh)
+            bias_w = jnp.einsum("bhqwc,wkc->bhqwk", qg, rw_t)  # (B,H,hl,s,kw)
+            bias = (bias_h[..., :, None] + bias_w[..., None, :]).reshape(
+                b, heads, nl, s * s
+            )
+            logits = logits + bias.astype(h.dtype)
+        attn = _softmax_fp32(logits).astype(v_full.dtype)
+        out = jnp.einsum("bhqk,bhkc->bhqc", attn, v_full)  # (B, H, nl, hd)
     out = out.transpose(0, 2, 1, 3).reshape(b, nl, c)
     return _linear(a["proj"], out).reshape(b, hl, ww, c)
 
@@ -174,9 +205,13 @@ def _encoder_local(
     for i, lp in enumerate(p["layers"]):
         h = _layer_norm(lp["ln1"], x, cfg.layer_norm_eps)
         if i in cfg.global_attn_indexes:
-            h = _global_attention_sp(lp["attn"], h, cfg.vision_heads, s, sp_axis)
+            h = _global_attention_sp(
+                lp["attn"], h, cfg.vision_heads, s, sp_axis, cfg.use_rel_pos
+            )
         else:
-            h = _window_attention_local(lp["attn"], h, cfg.vision_heads, ws)
+            h = _window_attention_local(
+                lp["attn"], h, cfg.vision_heads, ws, cfg.use_rel_pos
+            )
         x = x + h
         h = _layer_norm(lp["ln2"], x, cfg.layer_norm_eps)
         h = _gelu(h @ lp["mlp1"]["w"] + lp["mlp1"]["b"])
@@ -220,18 +255,44 @@ def sam_image_encoder_sp(
 
     has_dp = "dp" in mesh.axis_names
     data_spec = P("dp", "sp", None, None) if has_dp else P(None, "sp", None, None)
-    out_spec = P("dp", None, None, None) if has_dp else P()
 
-    v = params["vision"]
-    pos_spec = P(None, "sp", None, None)
-    param_specs = jax.tree_util.tree_map(lambda _: P(), v)
-    param_specs["pos_embed"] = pos_spec
+    v_sharded = shard_sam_encoder_sp(params, cfg, mesh)
+    treedef = jax.tree_util.tree_structure(v_sharded["vision"])
+    run = _sp_runner(cfg, mesh, has_dp, treedef)
+    pix = jax.device_put(pixel_values, NamedSharding(mesh, data_spec))
+    return run(v_sharded["vision"], pix)
+
+
+_POS_SPEC = P(None, "sp", None, None)
+
+
+def shard_sam_encoder_sp(params: Params, cfg: SamTPUConfig, mesh: Mesh) -> Params:
+    """Place the vision tree on ``mesh`` for SP: weights replicated, the
+    pos embed row-sharded over 'sp'. Idempotent — pass the result back
+    through :func:`sam_image_encoder_sp` (or call it with raw params once)
+    and repeat calls skip the host->device weight transfer."""
+    v = params.get("vision", params)
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     v_sharded = jax.tree_util.tree_map(lambda x: put(x, P()), v)
-    v_sharded["pos_embed"] = put(v["pos_embed"], pos_spec)
+    v_sharded["pos_embed"] = put(v["pos_embed"], _POS_SPEC)
+    return {"vision": v_sharded}
+
+
+@functools.lru_cache(maxsize=8)
+def _sp_runner(cfg: SamTPUConfig, mesh: Mesh, has_dp: bool, treedef):
+    """Jitted shard_map closure, cached per (cfg, mesh, param layout) so
+    repeated calls reuse one trace/compile instead of rebuilding the jit
+    each time (the treedef key keeps the spec tree in lockstep with
+    whatever vision-tree layout the caller holds)."""
+    data_spec = P("dp", "sp", None, None) if has_dp else P(None, "sp", None, None)
+    out_spec = P("dp", None, None, None) if has_dp else P()
+    param_specs = jax.tree_util.tree_unflatten(
+        treedef, [P()] * treedef.num_leaves
+    )
+    param_specs["pos_embed"] = _POS_SPEC
 
     @jax.jit
     @functools.partial(
@@ -246,5 +307,4 @@ def sam_image_encoder_sp(
             p_local, pix_local, p_local["pos_embed"], cfg
         )
 
-    pix = jax.device_put(pixel_values, NamedSharding(mesh, data_spec))
-    return run(v_sharded, pix)
+    return run
