@@ -210,9 +210,27 @@ def sam_image_encoder_tp(
     pixels -> ``(B, gs, gs, out_c)`` embeddings, batch sharded over 'dp',
     per-layer compute sharded over 'tp'. Params from
     :func:`shard_sam_encoder_tp`."""
-    tp = int(mesh.shape["tp"])
     has_dp = "dp" in mesh.axis_names
     data_spec = P("dp", None, None, None) if has_dp else P()
+    specs_key = jax.tree_util.tree_structure(tp_params)
+    run = _tp_runner(cfg, mesh, has_dp, specs_key, _freeze(tp_specs))
+    pix = jax.device_put(pixel_values, NamedSharding(mesh, data_spec))
+    return run(tp_params, pix)
+
+
+def _freeze(tree):
+    """Hashable snapshot of a PartitionSpec tree (for the runner cache)."""
+    return tuple(jax.tree_util.tree_flatten(tree, is_leaf=lambda x: isinstance(x, P))[0])
+
+
+@functools.lru_cache(maxsize=8)
+def _tp_runner(cfg: SamTPUConfig, mesh: Mesh, has_dp: bool, treedef, flat_specs):
+    """Jitted shard_map closure, cached per (cfg, mesh, spec layout) so
+    repeated calls reuse one trace/compile (the same treatment as
+    parallel/sp.py and parallel/pp.py)."""
+    tp = int(mesh.shape["tp"])
+    data_spec = P("dp", None, None, None) if has_dp else P()
+    tp_specs = jax.tree_util.tree_unflatten(treedef, list(flat_specs))
 
     @jax.jit
     @functools.partial(
@@ -225,5 +243,4 @@ def sam_image_encoder_tp(
     def run(p_local, pix_local):
         return _encoder_local(p_local, pix_local, cfg, tp)
 
-    pix = jax.device_put(pixel_values, NamedSharding(mesh, data_spec))
-    return run(tp_params, pix)
+    return run
