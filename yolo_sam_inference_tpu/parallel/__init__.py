@@ -17,6 +17,9 @@ and process pools for CPU work (SURVEY.md §2.6). Here scaling is TPU-native:
 """
 
 from .mesh import make_mesh, make_mesh_axes, data_sharding, replicate_sharding
+from .pp import sam_image_encoder_pp, stack_sam_encoder_pp
+from .sp import sam_image_encoder_sp, shard_sam_encoder_sp
+from .tp import sam_image_encoder_tp, shard_sam_encoder_tp
 from .train import sam_decoder_train_step, make_train_state
 
 __all__ = [
@@ -26,4 +29,10 @@ __all__ = [
     "replicate_sharding",
     "sam_decoder_train_step",
     "make_train_state",
+    "sam_image_encoder_tp",
+    "shard_sam_encoder_tp",
+    "sam_image_encoder_sp",
+    "shard_sam_encoder_sp",
+    "sam_image_encoder_pp",
+    "stack_sam_encoder_pp",
 ]
