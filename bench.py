@@ -81,7 +81,21 @@ def _run_bench() -> None:
         tinyvit_mbconv_compute="bf16" if tv_bf16 else "fp32",
         tinyvit_stem_s2d=tv_s2d,
     )
-    pipe = CellSegmentationPipeline(sam_model_type=sam_model, options=opts)
+    # BENCH_DP=N: shard the bench batch over an N-device dp mesh (the
+    # engine's production scale-out path). N must not exceed the attached
+    # device count — on the single-chip bench host this stays unset; on a
+    # pod slice it measures dp scaling of the same fused program.
+    dp = int(os.environ.get("BENCH_DP", "0"))
+    mesh = None
+    if dp > 1:
+        from yolo_sam_inference_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=dp, tp=1, devices=jax.devices()[:dp])
+        if batch % dp:
+            raise SystemExit(f"BENCH_BATCH={batch} must divide by BENCH_DP={dp}")
+    pipe = CellSegmentationPipeline(
+        sam_model_type=sam_model, options=opts, mesh=mesh
+    )
 
     rng = np.random.default_rng(0)
     # synthetic microscopy-like frames: bright blobs on dark background.
@@ -170,15 +184,20 @@ def _run_bench() -> None:
         label += "-tvbf16"
     if tv_s2d:
         label += "-tvs2d"
+    if dp > 1:
+        label += f"-dp{dp}"
     result = {
-        "metric": f"end-to-end images/sec/chip (YOLOv8n+{label}+metrics, {size}x{size})",
+        "metric": f"end-to-end images/sec{'' if dp > 1 else '/chip'} "
+                  f"(YOLOv8n+{label}+metrics, {size}x{size})",
         "value": round(ips, 2),
-        "unit": "images/sec/chip",
+        "unit": "images/sec" if dp > 1 else "images/sec/chip",
+        **({"per_chip": round(ips / dp, 2)} if dp > 1 else {}),
         "vs_baseline": round(ips / 500.0, 4),
         "p50_image_latency_ms": round(p50_batch / batch, 3),
         "p99_image_latency_ms": round(p99_batch / batch, 3),
         "p50_batch_latency_ms": round(p50_batch, 2),
         "batch": batch,
+        **({"dp": dp} if dp > 1 else {}),
         **result,
     }
     line = json.dumps(result)
@@ -188,7 +207,7 @@ def _run_bench() -> None:
     if not any(os.environ.get(k) for k in
                ("BENCH_SAM", "BENCH_SIZE", "BENCH_E2E", "BENCH_MAX_DET",
                 "BENCH_BATCH", "BENCH_ITERS", "BENCH_CHUNK", "BENCH_QUANT",
-                "BENCH_TV_BF16", "BENCH_TV_S2D")):
+                "BENCH_TV_BF16", "BENCH_TV_S2D", "BENCH_DP")):
         try:
             with open(_LAST_GOOD, "w") as f:
                 f.write(json.dumps({"saved_at": time.strftime("%Y-%m-%d %H:%M:%S"),
