@@ -24,7 +24,17 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <vector>
 #include <zlib.h>
+
+#ifdef USE_LIBDEFLATE
+// libdeflate's whole-buffer inflate runs ~2x zlib's streaming inflate and
+// inflate dominates the decode (measured 5.2 of 6.9 ms per 512x512 RGB
+// frame on the 1-vCPU bench host). The binding builds with
+// -DUSE_LIBDEFLATE -ldeflate when the library is present and falls back
+// to this file's zlib path otherwise (io/png_native.py).
+#include <libdeflate.h>
+#endif
 
 namespace {
 
@@ -95,6 +105,49 @@ inline uint8_t paeth(int a, int b, int c) {
 // Inflate all IDAT chunks into raw (h * (1 + rowbytes)) filtered scanlines.
 int inflate_idat(const uint8_t* buf, int64_t len, uint8_t* raw,
                  size_t raw_size) {
+#ifdef USE_LIBDEFLATE
+  {
+    // PNG's IDAT chunks carry ONE zlib stream; libdeflate needs it
+    // contiguous, so gather the payload extents (zero-copy for the
+    // common single-chunk case) and decompress in one shot.
+    std::vector<std::pair<const uint8_t*, uint32_t>> parts;
+    size_t total = 0;
+    const uint8_t* p = buf + 8 + 25;
+    const uint8_t* end = buf + len;
+    while (end - p >= 8) {
+      uint32_t clen = be32(p);
+      if (clen > uint32_t(end - p - 8)) break;
+      if (std::memcmp(p + 4, "IEND", 4) == 0) break;
+      if (std::memcmp(p + 4, "IDAT", 4) == 0) {
+        parts.emplace_back(p + 8, clen);
+        total += clen;
+      }
+      p += 8 + int64_t(clen) + 4;
+    }
+    static thread_local struct libdeflate_decompressor* dec =
+        libdeflate_alloc_decompressor();
+    if (!parts.empty() && dec != nullptr) {
+      const uint8_t* src = parts[0].first;
+      std::vector<uint8_t> scratch;
+      if (parts.size() > 1) {
+        scratch.resize(total);
+        size_t off = 0;
+        for (const auto& pr : parts) {
+          std::memcpy(scratch.data() + off, pr.first, pr.second);
+          off += pr.second;
+        }
+        src = scratch.data();
+      }
+      size_t actual = 0;
+      if (libdeflate_zlib_decompress(dec, src, total, raw, raw_size,
+                                     &actual) == LIBDEFLATE_SUCCESS &&
+          actual == raw_size) {
+        return kOk;
+      }
+      // any mismatch: fall through to the streaming zlib path below
+    }
+  }
+#endif
   z_stream zs;
   std::memset(&zs, 0, sizeof(zs));
   if (inflateInit(&zs) != Z_OK) return kErrInflate;
