@@ -20,6 +20,8 @@ from __future__ import annotations
 import json
 import struct
 import zlib
+
+from .deflate import compress as _zlib_compress
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -98,12 +100,12 @@ def write_tiff(
                 block[: sub.shape[0], : sub.shape[1]] = sub
                 raw = block.tobytes()
                 blocks.append(
-                    zlib.compress(raw, compression_level) if comp_id != _COMPRESSION_NONE else raw
+                    _zlib_compress(raw, compression_level) if comp_id != _COMPRESSION_NONE else raw
                 )
     else:
         raw = img.tobytes()
         blocks.append(
-            zlib.compress(raw, compression_level) if comp_id != _COMPRESSION_NONE else raw
+            _zlib_compress(raw, compression_level) if comp_id != _COMPRESSION_NONE else raw
         )
 
     # --- assemble entries ----------------------------------------------------------
