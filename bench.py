@@ -160,8 +160,8 @@ def _run_bench() -> None:
         # sample path + the async fused path, both on the loader's
         # collapsed-grayscale 3D batches) so the e2e number measures
         # steady-state throughput, not the one-time XLA compiles
-        pipe.process_batch_arrays(imgs)
-        pipe._fetch_outputs(pipe._dispatch_batch(imgs[..., 0]))
+        pipe.process_batch_arrays(imgs, fetch_masks=False)
+        pipe._fetch_outputs(pipe._dispatch_batch(imgs[..., 0], fetch_masks=False))
         with tempfile.TemporaryDirectory() as td:
             for i in range(n_files):
                 Image.fromarray(imgs[i % batch]).save(f"{td}/img_{i:04d}.png")

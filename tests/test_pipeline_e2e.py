@@ -77,6 +77,26 @@ def test_invalid_cells_zeroed(tiny_pipeline):
     assert (~out["mask_crops"][invalid].any(axis=(-2, -1))).all()
 
 
+def test_fetch_masks_false_skips_crop_transfer(tiny_pipeline):
+    """fetch_masks=False (the CSV-only directory path) must skip the mask
+    bitpack + device->host crop transfer (~4 MB/batch at serving shape — the
+    dominant fetch leg on the tunneled link) while leaving every other
+    output identical."""
+    rng = np.random.default_rng(21)
+    imgs = np.stack([make_cell_image(rng) for _ in range(2)])
+    full = tiny_pipeline.process_batch_arrays(imgs)
+    lean = tiny_pipeline.process_batch_arrays(imgs, fetch_masks=False)
+    assert lean["mask_crops"] is None
+    h = tiny_pipeline._dispatch_batch(imgs, fetch_masks=False)
+    assert h["packed"] is None  # the pack program was never dispatched
+    for name in ("boxes", "scores", "valid", "offsets"):
+        np.testing.assert_array_equal(full[name], lean[name], err_msg=name)
+    for key in METRIC_KEYS:
+        np.testing.assert_array_equal(
+            full["metrics"][key], lean["metrics"][key], err_msg=key
+        )
+
+
 def test_grayscale_transfer_path_matches_rgb(tiny_pipeline):
     """Replicated-RGB batches take the 1-channel host->device transfer path
     (engine._images_to_device) and must produce identical outputs."""

@@ -636,7 +636,10 @@ class CellSegmentationPipeline:
         return jax.device_put(images, data_sharding(self.mesh, images.ndim)), b
 
     def process_batch_arrays(
-        self, images: np.ndarray, timings: Optional[Dict[str, float]] = None
+        self,
+        images: np.ndarray,
+        timings: Optional[Dict[str, float]] = None,
+        fetch_masks: bool = True,
     ) -> Dict[str, np.ndarray]:
         """Run the stage-jitted pipeline on a uint8 batch — (B, H, W, 3)
         RGB or (B, H, W) grayscale (the loader collapses replicated-RGB
@@ -645,7 +648,10 @@ class CellSegmentationPipeline:
         Returns host arrays: boxes (B, K, 4), scores, valid, mask_crops
         (B, K, cm, cm), offsets (B, K, 2), metrics {key: (B, K)}. When
         ``timings`` is given, accumulates real per-stage device seconds into
-        the reference timing keys.
+        the reference timing keys. ``fetch_masks=False`` skips the mask
+        bitpack + device->host crop transfer (~4 MB/batch at the default
+        shape — the dominant fetch cost on the tunneled link) and returns
+        ``mask_crops=None``; metrics/boxes are unaffected (CSV-only runs).
         """
         h, w = images.shape[1], images.shape[2]
         st = self._stages(h, w)
@@ -666,24 +672,30 @@ class CellSegmentationPipeline:
         )
         gray = _gray_f32(dev_images)
         mets = timed("metrics_total", st["metrics"], crops, offs, gray)
-        packed = st["pack"](crops)  # 1 bit/px across the link, unpack on host
+        # 1 bit/px across the link, unpack on host
+        packed = st["pack"](crops) if fetch_masks else None
         return self._fetch_outputs(
             {"boxes": boxes, "scores": scores, "valid": valid, "packed": packed,
              "offsets": offs, "metrics": mets, "b": b, "cm": crops.shape[-1]}
         )
 
-    def _dispatch_batch(self, images: np.ndarray) -> Dict[str, Any]:
+    def _dispatch_batch(
+        self, images: np.ndarray, fetch_masks: bool = True
+    ) -> Dict[str, Any]:
         """Dispatch the FUSED program + device-side mask bitpack for one
         batch WITHOUT host sync; returns device handles for
         :meth:`_fetch_outputs`. The async building block of
         :meth:`process_directory`: batch i computes on device while batch
-        i-1's results stream back and batch i+1 decodes on the host."""
+        i-1's results stream back and batch i+1 decodes on the host.
+
+        ``fetch_masks=False`` drops the bitpack dispatch so the crop tensor
+        never crosses the link (CSV-only directory runs)."""
         st = self._stages(images.shape[1], images.shape[2])
         dev_images, b = self._images_to_device(images)
         boxes, scores, valid, crops, offs, mets = st["fused"](
             st["yolo_params"], st["sam_params"], dev_images
         )
-        packed = st["pack"](crops)
+        packed = st["pack"](crops) if fetch_masks else None
         return {"boxes": boxes, "scores": scores, "valid": valid,
                 "packed": packed, "offsets": offs, "metrics": mets,
                 "b": b, "cm": crops.shape[-1]}
@@ -700,7 +712,8 @@ class CellSegmentationPipeline:
             "valid": np.asarray(h["valid"])[:b],
             # unpackbits yields exact 0/1 bytes, so the bool reinterpret is a
             # free view — .astype(bool) re-copied the whole 33 MB crop tensor
-            "mask_crops": np.unpackbits(np.asarray(h["packed"])[:b], axis=-1)[
+            "mask_crops": None if h["packed"] is None else
+            np.unpackbits(np.asarray(h["packed"])[:b], axis=-1)[
                 ..., :cm
             ].view(np.bool_),
             "offsets": np.asarray(h["offsets"])[:b],
@@ -905,7 +918,9 @@ class CellSegmentationPipeline:
             stats["n_batches"] += 1
             if timed:
                 t0 = time.perf_counter()
-                out = self.process_batch_arrays(batch_imgs, timings)
+                out = self.process_batch_arrays(
+                    batch_imgs, timings, fetch_masks=save_visualizations
+                )
                 stats["sample_sync_s"] += time.perf_counter() - t0
                 stats["n_sample_batches"] += 1
                 sampled.clear()
@@ -915,7 +930,9 @@ class CellSegmentationPipeline:
                 return (out, None, batch_paths, n_valid, timings)
             timings.update(sampled)
             t0 = time.perf_counter()
-            handles = self._dispatch_batch(batch_imgs)
+            handles = self._dispatch_batch(
+                batch_imgs, fetch_masks=save_visualizations
+            )
             stats["dispatch_s"] += time.perf_counter() - t0
             return (None, handles, batch_paths, n_valid, timings)
 
