@@ -237,6 +237,39 @@ def test_relpos_tables_matches_einsum(s, window):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "s,window,heads,hd",
+    [(8, 4, 3, 16), (8, 8, 3, 16), (4, 2, 3, 16), (32, 16, 12, 64)],
+)
+def test_relpos_tables_v2_matches_einsum(s, window, heads, hd):
+    """Dot-only (v2) table builder == the einsum construction. The last
+    case is the exact bench-default shape (512px ViT-B windowed layer:
+    s=32, w=16, 12 heads of 64 — pack=2, full-128-lane class tables)."""
+    from yolo_sam_inference_tpu.ops.flash_attention import relpos_tables
+
+    rng = np.random.default_rng(7)
+    b = 2
+    c = heads * hd
+    qkv = jnp.asarray(rng.normal(size=(b, s, s, 3 * c)), jnp.float32)
+    rel_h = jnp.asarray(rng.normal(size=(2 * window - 1, hd)), jnp.float32)
+    rel_w = jnp.asarray(rng.normal(size=(2 * window - 1, hd)), jnp.float32)
+
+    got = relpos_tables(qkv, rel_h, rel_w, heads=heads, window=window,
+                        interpret=True, v2=True)
+
+    idx = np.arange(window)[:, None] - np.arange(window)[None, :] + window - 1
+    th = np.tile(np.asarray(rel_h)[idx], (s // window, 1, 1))
+    tw = np.tile(np.asarray(rel_w)[idx], (s // window, 1, 1))
+    qp = np.asarray(qkv[..., :c]).reshape(b, s, s, heads, hd)
+    rh = np.einsum("byxhc,ykc->byxhk", qp, th)
+    rw = np.einsum("byxhc,xkc->byxhk", qp, tw)
+    want = np.concatenate(
+        [rh.reshape(b, s, s, heads * window), rw.reshape(b, s, s, heads * window)],
+        axis=-1,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
 # heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
 # quick loop with `pytest -m "not slow" tests/`
 pytestmark = pytest.mark.slow

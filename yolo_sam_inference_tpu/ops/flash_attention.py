@@ -25,6 +25,7 @@ multiple of S.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -34,6 +35,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
+
+# SAM_RELPOS_V2=1 opt-in (A/B pending device measurement): dot-only score
+# tables on the full-image (s <= 32) path instead of the slice-assembly
+# builder (_relpos_tables_kernel_big).
+_RELPOS_V2 = os.environ.get("SAM_RELPOS_V2", "0") == "1"
 
 
 def _flash_kernel(
@@ -644,7 +650,66 @@ def _relpos_tables_kernel_big(
     o_ref[0] = jnp.concatenate([rh, rw], axis=-1).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "window", "interpret"))
+def _relpos_tables_kernel_v2(
+    q_ref, th_ref, tw_ref, o_ref, *, heads: int, hd: int, w: int, s: int,
+    pack: int,
+):
+    """Dot-only full-image table builder (no slice-assembly chains).
+
+    The rel-pos tables are SHARED across heads, so one class-expanded table
+    serves every ``pack``-head group: ``T[p*hd + d, i*pack*w + p*w + j] =
+    tab[i - j + w - 1, d]`` folds the per-row-class shift selection into the
+    contraction itself. One full-lane MXU dot per head group yields ALL
+    window-local biases for ALL row classes at once; rows of class ``i``
+    then read the lane-ALIGNED block ``[i*pack*w, (i+1)*pack*w)`` — w
+    aligned block slices per group, vs. the predecessor's heads*s
+    misaligned (s, w) slices + concat chains per image, which made the op
+    VPU-slicing-bound (~12.8 ms/iter of the r2 bench profile).
+
+    q_ref: (1, s, s, C) q slice of the fused qkv tensor. th/tw:
+    (pack*hd, w*pack*w) class-expanded tables. o_ref: (1, s, s, 2*heads*w).
+    """
+    q = q_ref[0]  # (s, s, C)
+    c = heads * hd
+    reps = s // w
+    pw = pack * w
+    groups = heads // pack
+
+    def build(q2, t_ref):
+        # q2: (s*s, C) tokens, class of a token = (row index) % w
+        parts = []
+        for g in range(groups):
+            qg = q2[:, g * pack * hd : (g + 1) * pack * hd]
+            f = jax.lax.dot_general(
+                qg, t_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (s*s, w*pw): per token, biases for EVERY row class
+            f4 = f.reshape(reps, w, s, w * pw)
+            parts.append(
+                jnp.concatenate(
+                    [
+                        jax.lax.slice(
+                            f4, (0, i, 0, i * pw), (reps, i + 1, s, (i + 1) * pw)
+                        )
+                        for i in range(w)
+                    ],
+                    axis=1,
+                )
+            )  # (reps, w, s, pw)
+        # group-major lane concat = head-major h*w+j layout: lane
+        # g*pw + p*w + j == (g*pack + p)*w + j
+        return jnp.concatenate(parts, axis=-1).reshape(s, s, heads * w)
+
+    rh = build(q.reshape(s * s, c), th_ref)
+    rw = build(q.transpose(1, 0, 2).reshape(s * s, c), tw_ref).transpose(
+        1, 0, 2
+    )
+    o_ref[0] = jnp.concatenate([rh, rw], axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "window", "interpret", "v2")
+)
 def relpos_tables(
     qkv: jnp.ndarray,
     rel_pos_h: jnp.ndarray,
@@ -652,6 +717,7 @@ def relpos_tables(
     heads: int,
     window: int,
     interpret: bool = False,
+    v2: Optional[bool] = None,
 ) -> jnp.ndarray:
     """(B, S, S, 3C) fused qkv + raw (2w-1, hd) tables -> rhw (B, S, S, 2*heads*w).
 
@@ -666,6 +732,43 @@ def relpos_tables(
     assert rel_pos_h.shape == (2 * w - 1, hd), (rel_pos_h.shape, w, hd)
     rt = rel_pos_h[::-1].astype(qkv.dtype)
     wt = rel_pos_w[::-1].astype(qkv.dtype)
+    use_v2 = _RELPOS_V2 if v2 is None else v2
+
+    if s <= 32 and s % w == 0 and use_v2:
+        pack = max(
+            d for d in range(1, heads + 1)
+            if heads % d == 0 and d * hd <= 128
+        )
+        pw = pack * w
+        idx = np.arange(w)[:, None] - np.arange(w)[None, :] + w - 1
+        eyep = jnp.eye(pack, dtype=qkv.dtype)
+        # T[p*hd + d, i*pw + q*w + j] = tab[i - j + w - 1, d]
+        tbh = jnp.einsum(
+            "pq,ijd->pdiqj", eyep, rel_pos_h[idx].astype(qkv.dtype)
+        ).reshape(pack * hd, w * pw)
+        tbw = jnp.einsum(
+            "pq,ijd->pdiqj", eyep, rel_pos_w[idx].astype(qkv.dtype)
+        ).reshape(pack * hd, w * pw)
+        kernel = functools.partial(
+            _relpos_tables_kernel_v2, heads=heads, hd=hd, w=w, s=s, pack=pack
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, s, s, c), lambda bi: (bi, 0, 0, 0)),
+                pl.BlockSpec((pack * hd, w * pw), lambda bi: (0, 0)),
+                pl.BlockSpec((pack * hd, w * pw), lambda bi: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, s, s, 2 * heads * w), lambda bi: (bi, 0, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, s, s, 2 * heads * w), qkv.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(qkv, tbh, tbw)
 
     if s <= 32:
         # full-image blocks; tables packed pack-heads-at-a-time so each dot
