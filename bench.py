@@ -155,7 +155,11 @@ def _run_bench() -> None:
 
         from PIL import Image
 
-        n_files = int(os.environ.get("BENCH_E2E_FILES", "256"))
+        # 6 batches at the default shape: the first is the synced sample
+        # batch (per-stage timing rows), the rest run the async pipelined
+        # steady state — at 256 files (2 batches) the one-time sample cost
+        # dominated and the number under-read production throughput
+        n_files = int(os.environ.get("BENCH_E2E_FILES", "768"))
         # warm the jitted programs process_directory uses (stage-jitted
         # sample path + the async fused path, both on the loader's
         # collapsed-grayscale 3D batches) so the e2e number measures
