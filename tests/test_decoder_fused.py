@@ -32,8 +32,13 @@ def _naive(keys, pe, q_tokens_pe, v_tokens, wq, bq, wk, bk, wv, bv,
     return (y - mean) / np.sqrt(var + eps) * lns + lnb
 
 
-@pytest.mark.parametrize("k_share", [1, 2])
-def test_i2t_keys_update_matches_naive(k_share):
+@pytest.mark.parametrize(
+    "k_share,v2",
+    [(1, None), (2, None), (1, True), (2, True), (4, True), (8, True)],
+)
+def test_i2t_keys_update_matches_naive(k_share, v2):
+    """v2=True exercises the shared-source fast path: hoisted per-image
+    query projection + 4 prompts per grid step (k_share in {4, 8})."""
     from yolo_sam_inference_tpu.ops.decoder_fused import i2t_keys_update
 
     rng = np.random.default_rng(2)
@@ -59,13 +64,47 @@ def test_i2t_keys_update_matches_naive(k_share):
         jnp.asarray(keys_src), jnp.asarray(pe), jnp.asarray(kp), jnp.asarray(vp),
         jnp.asarray(wq), jnp.asarray(bq), jnp.asarray(wout), jnp.asarray(bout),
         jnp.asarray(lns), jnp.asarray(lnb),
-        heads=heads, k_share=k_share, eps=eps, interpret=True,
+        heads=heads, k_share=k_share, eps=eps, interpret=True, v2=v2,
     )
 
     keys_full = np.repeat(keys_src, k_share, axis=0)
     want = _naive(keys_full, pe, qtok, vtok, wq, bq, wk, bk, wv, bv,
                   wout, bout, lns, lnb, heads, eps)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_i2t_v2_matches_v1_with_t2i():
+    """Shared-source v2 (hoisted qp, 4 prompts/step) == v1 on the full
+    fused signature incl. the pipelined next-stage t2i output."""
+    from yolo_sam_inference_tpu.ops.decoder_fused import i2t_keys_update
+
+    rng = np.random.default_rng(3)
+    heads, hd, tq, tq2 = 2, 8, 3, 4
+    dh = heads * hd
+    nsrc, t, c, k_share = 2, 16, 32, 4
+    n = nsrc * k_share
+    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    keys_src, pe = f(nsrc, t, c), f(1, t, c)
+    kp, vp = f(n, tq, dh) * 0.3, f(n, tq, dh) * 0.3
+    wq, bq = f(c, dh) * 0.3, f(dh) * 0.1
+    wout, bout = f(dh, c) * 0.3, f(c) * 0.1
+    lns, lnb = 1.0 + f(c) * 0.1, f(c) * 0.1
+    t2i = {
+        "qp": f(n, tq2, dh) * 0.3,
+        "wk": f(c, dh) * 0.3, "bk": f(dh) * 0.1,
+        "wv": f(c, dh) * 0.3, "bv": f(dh) * 0.1,
+    }
+    outs = [
+        i2t_keys_update(
+            keys_src, pe, kp, vp, wq, bq, wout, bout, lns, lnb,
+            heads=heads, k_share=k_share, interpret=True, v2=v,
+            t2i=t2i, out_grid=4,
+        )
+        for v in (False, True)
+    ]
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_fused_decoder_matches_reference_path(monkeypatch):

@@ -30,12 +30,20 @@ all K prompts of an image share the untouched image tokens).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# SAM_I2T_V2=1 opt-in (A/B pending device measurement): on shared-source
+# passes (decoder layer 0, k_share=K) hoist the per-image query projection
+# out of the per-prompt loop (it only depends on the shared keys block) and
+# run 4 prompts per grid step instead of 2 (fewer grid steps, kk/qp
+# amortized 4x).
+_I2T_V2 = os.environ.get("SAM_I2T_V2", "0") == "1"
 
 
 def _i2t_update_kernel(
@@ -44,20 +52,38 @@ def _i2t_update_kernel(
     *rest,
     heads: int, tq: int, scale: float, eps: float, with_t2i: bool,
     out_grid: int = 0, pb: int = 1, shared_src: bool = False,
+    hoist_qp: bool = False,
 ):
     if with_t2i:
         (qbd_ref, wk2_ref, bk2_ref, wv2_ref, bv2_ref,
          o_ref, t2i_ref) = rest
     else:
         (o_ref,) = rest
+    qp = None
+    if hoist_qp and shared_src and pb > 1:
+        # every prompt of this step reads keys_ref[0] (pb divides k_share),
+        # so kk + the query projection are identical across the loop
+        qp = _i2t_query_proj(keys_ref[0], pe_ref, wq_ref, bq_ref, scale)
     for _p in range(pb):
         _i2t_one_prompt(
             keys_ref, pe_ref, kbd_ref, vbd_ref, g_ref,
             wq_ref, bq_ref, wout_ref, bout_ref, lns_ref, lnb_ref,
             rest, heads=heads, tq=tq, scale=scale, eps=eps,
             with_t2i=with_t2i, out_grid=out_grid, p=_p,
-            src=0 if shared_src else _p,
+            src=0 if shared_src else _p, qp=qp,
         )
+
+
+def _i2t_query_proj(keys, pe_ref, wq_ref, bq_ref, scale):
+    """(T, C) keys -> scaled (T, dh) fp32 query projection."""
+    kk = keys + pe_ref[...].astype(keys.dtype)
+    return (
+        jax.lax.dot_general(
+            kk, wq_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bq_ref[...]
+    ) * scale
 
 
 def _i2t_one_prompt(
@@ -65,7 +91,7 @@ def _i2t_one_prompt(
     wq_ref, bq_ref, wout_ref, bout_ref, lns_ref, lnb_ref,
     rest,
     *, heads: int, tq: int, scale: float, eps: float, with_t2i: bool,
-    out_grid: int, p: int, src: int,
+    out_grid: int, p: int, src: int, qp=None,
 ):
     if with_t2i:
         (qbd_ref, wk2_ref, bk2_ref, wv2_ref, bv2_ref,
@@ -73,14 +99,8 @@ def _i2t_one_prompt(
     else:
         (o_ref,) = rest
     keys = keys_ref[src]  # (T, C)
-    kk = keys + pe_ref[...].astype(keys.dtype)
-    qp = (
-        jax.lax.dot_general(
-            kk, wq_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + bq_ref[...]
-    ) * scale  # (T, dh) fp32
+    if qp is None:
+        qp = _i2t_query_proj(keys, pe_ref, wq_ref, bq_ref, scale)
     logits = jax.lax.dot_general(
         qp.astype(keys.dtype), kbd_ref[p],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -260,7 +280,8 @@ def t2i_shared_attend(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "k_share", "eps", "interpret", "out_grid")
+    jax.jit,
+    static_argnames=("heads", "k_share", "eps", "interpret", "out_grid", "v2"),
 )
 def i2t_keys_update(
     keys_src: jnp.ndarray,
@@ -279,6 +300,7 @@ def i2t_keys_update(
     interpret: bool = False,
     t2i: Optional[dict] = None,
     out_grid: int = 0,
+    v2: Optional[bool] = None,
 ):
     """One fused i2t + residual + LayerNorm pass over the keys stream.
 
@@ -298,6 +320,7 @@ def i2t_keys_update(
     hd = dh // heads
     scale = hd ** -0.5
     interpret = interpret or jax.default_backend() == "cpu"
+    use_v2 = _I2T_V2 if v2 is None else v2
 
     # block-diagonal per-prompt factors (the off-diagonal zeros are free:
     # the packed dots run full-lane either way)
@@ -323,6 +346,9 @@ def i2t_keys_update(
         if n % 2 == 0 and (k_share == 1 or k_share % 2 == 0) and t * c <= 2**18
         else 1
     )
+    if use_v2 and k_share % 4 == 0 and n % 4 == 0 and t * c <= 2**18:
+        # shared-source (layer 0) steps: 4 prompts amortize one kk/qp
+        pb = 4
     shared_src = k_share > 1
     if shared_src:
         keys_spec = pl.BlockSpec(
@@ -397,7 +423,9 @@ def i2t_keys_update(
             out_shape,
             jax.ShapeDtypeStruct((n, heads * tq2, dh2), keys_src.dtype),
         ]
-    kernel = functools.partial(kernel, pb=pb, shared_src=shared_src)
+    kernel = functools.partial(
+        kernel, pb=pb, shared_src=shared_src, hoist_qp=use_v2
+    )
     result = pl.pallas_call(
         kernel,
         grid=(n // pb,),
