@@ -35,6 +35,13 @@ TAGS = {
     "vith2048_int8_tiled": ("config 4 int8 + tiled int8 MLP kernel", 15.25),
     "vith2048_int8_notiled": ("config 4 int8 SAM_TILED_MLP=0 (A/B)", 15.25),
     "default_refresh2": ("config 1 final warm refresh, queue3", 503.2),
+    "e2e_fm": ("honest e2e, fetch_masks=False CSV-only fetch (256 files)", 62.38),
+    "e2e_768": ("honest e2e at 768 files (steady-state share 5/6)", 75.62),
+    "relpos_v2": ("config 1 + dot-only rel-pos tables (SAM_RELPOS_V2)", 504.36),
+    "vitl_relpos_v2": ("config 3 + dot-only rel-pos tables", 162.37),
+    "i2t_v2": ("config 1 + shared-source i2t fast path (SAM_I2T_V2)", 504.36),
+    "combined_v2": ("config 1 + relpos_v2 + i2t_v2", 504.36),
+    "mobilesam_i2t_v2": ("config 2 + shared-source i2t fast path", 648.46),
 }
 
 
