@@ -239,12 +239,17 @@ def test_relpos_tables_matches_einsum(s, window):
 
 @pytest.mark.parametrize(
     "s,window,heads,hd",
-    [(8, 4, 3, 16), (8, 8, 3, 16), (4, 2, 3, 16), (32, 16, 12, 64)],
+    [
+        (8, 4, 3, 16), (8, 8, 3, 16), (4, 2, 3, 16), (32, 16, 12, 64),
+        # s > 32 exercises the column-tiled v2 kernel (ViT at 1024 canvas)
+        (40, 8, 3, 16), (64, 16, 4, 80),
+    ],
 )
 def test_relpos_tables_v2_matches_einsum(s, window, heads, hd):
-    """Dot-only (v2) table builder == the einsum construction. The last
-    case is the exact bench-default shape (512px ViT-B windowed layer:
-    s=32, w=16, 12 heads of 64 — pack=2, full-128-lane class tables)."""
+    """Dot-only (v2) table builder == the einsum construction. (32,16,12,64)
+    is the exact bench-default shape (512px ViT-B windowed layer: pack=2,
+    full-128-lane class tables); (64,16,4,80) is the ViT-H-at-1024-canvas
+    shape on the tiled path (pack=1)."""
     from yolo_sam_inference_tpu.ops.flash_attention import relpos_tables
 
     rng = np.random.default_rng(7)

@@ -598,6 +598,83 @@ def _relpos_tables_kernel(
     o_ref[0] = jnp.concatenate([rh, rw], axis=-1).astype(o_ref.dtype)
 
 
+def _relpos_tables_kernel_tiled_v2(
+    q_ref, th_ref, tw_ref, o_ref,
+    *, heads: int, hd: int, w: int, sc: int, pack: int,
+):
+    """Dot-only variant of :func:`_relpos_tables_kernel` (same
+    class-expanded tables as :func:`_relpos_tables_kernel_v2`): the block's
+    rows ARE the row classes (blocks start at multiples of w) and its
+    columns cycle classes every w (sc is a multiple of w), so the shift
+    selection again folds into one contraction per head group followed by
+    lane-aligned pack*w block slices."""
+    q = q_ref[0]  # (w, sc, C)
+    c = heads * hd
+    pw = pack * w
+    groups = heads // pack
+    repsx = sc // w
+
+    q2 = q.reshape(w * sc, c)  # row-major tokens: class = row index
+    qt2 = q.transpose(1, 0, 2).reshape(sc * w, c)  # col-major: class = x % w
+
+    rh_parts, rw_parts = [], []
+    for g in range(groups):
+        lo = g * pack * hd
+        f = jax.lax.dot_general(
+            q2[:, lo : lo + pack * hd], th_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (w*sc, w*pw)
+        f4 = f.reshape(1, w, sc, w * pw)
+        rh_parts.append(
+            jnp.concatenate(
+                [
+                    jax.lax.slice(
+                        f4, (0, i, 0, i * pw), (1, i + 1, sc, (i + 1) * pw)
+                    )
+                    for i in range(w)
+                ],
+                axis=1,
+            )
+        )  # (1, w, sc, pw)
+        gm = jax.lax.dot_general(
+            qt2[:, lo : lo + pack * hd], tw_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (sc*w, w*pw); token row = (xr*w + k)*w + i, class k = x % w
+        g4 = gm.reshape(repsx, w, w, w * pw)
+        rw_parts.append(
+            jnp.concatenate(
+                [
+                    jax.lax.slice(
+                        g4, (0, k, 0, k * pw), (repsx, k + 1, w, (k + 1) * pw)
+                    )
+                    for k in range(w)
+                ],
+                axis=1,
+            )
+        )  # (repsx, w, w, pw)
+    rh = jnp.concatenate(rh_parts, axis=-1).reshape(w, sc, heads * w)
+    rw = jnp.concatenate(rw_parts, axis=-1).reshape(sc, w, heads * w)
+    o_ref[0] = jnp.concatenate(
+        [rh, rw.transpose(1, 0, 2)], axis=-1
+    ).astype(o_ref.dtype)
+
+
+def _relpos_class_tables(rel_pos_h, rel_pos_w, w, hd, pack, dtype):
+    """(2w-1, hd) raw tables -> class-expanded (pack*hd, w*pack*w):
+    T[p*hd + d, i*pack*w + q*w + j] = tab[i - j + w - 1, d]."""
+    idx = np.arange(w)[:, None] - np.arange(w)[None, :] + w - 1
+    eyep = jnp.eye(pack, dtype=dtype)
+    tbh = jnp.einsum(
+        "pq,ijd->pdiqj", eyep, rel_pos_h[idx].astype(dtype)
+    ).reshape(pack * hd, w * pack * w)
+    tbw = jnp.einsum(
+        "pq,ijd->pdiqj", eyep, rel_pos_w[idx].astype(dtype)
+    ).reshape(pack * hd, w * pack * w)
+    return tbh, tbw
+
+
 def _relpos_tables_kernel_big(
     q_ref, th_ref, tw_ref, o_ref,
     *, heads: int, hd: int, w: int, s: int, pack: int,
@@ -740,15 +817,9 @@ def relpos_tables(
             if heads % d == 0 and d * hd <= 128
         )
         pw = pack * w
-        idx = np.arange(w)[:, None] - np.arange(w)[None, :] + w - 1
-        eyep = jnp.eye(pack, dtype=qkv.dtype)
-        # T[p*hd + d, i*pw + q*w + j] = tab[i - j + w - 1, d]
-        tbh = jnp.einsum(
-            "pq,ijd->pdiqj", eyep, rel_pos_h[idx].astype(qkv.dtype)
-        ).reshape(pack * hd, w * pw)
-        tbw = jnp.einsum(
-            "pq,ijd->pdiqj", eyep, rel_pos_w[idx].astype(qkv.dtype)
-        ).reshape(pack * hd, w * pw)
+        tbh, tbw = _relpos_class_tables(
+            rel_pos_h, rel_pos_w, w, hd, pack, qkv.dtype
+        )
         kernel = functools.partial(
             _relpos_tables_kernel_v2, heads=heads, hd=hd, w=w, s=s, pack=pack
         )
@@ -810,6 +881,42 @@ def relpos_tables(
         ]
         or [w]
     )
+    if use_v2 and s % w == 0:
+        pack = max(
+            d for d in range(1, heads + 1)
+            if heads % d == 0 and d * hd <= 128
+        )
+        tbh, tbw = _relpos_class_tables(
+            rel_pos_h, rel_pos_w, w, hd, pack, qkv.dtype
+        )
+        kernel = functools.partial(
+            _relpos_tables_kernel_tiled_v2,
+            heads=heads, hd=hd, w=w, sc=sc, pack=pack,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(b, s // w, s // sc),
+            in_specs=[
+                pl.BlockSpec((1, w, sc, c), lambda bi, yi, xi: (bi, yi, xi, 0)),
+                pl.BlockSpec(
+                    (pack * hd, w * pack * w), lambda bi, yi, xi: (0, 0)
+                ),
+                pl.BlockSpec(
+                    (pack * hd, w * pack * w), lambda bi, yi, xi: (0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, w, sc, 2 * heads * w), lambda bi, yi, xi: (bi, yi, xi, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, s, s, 2 * heads * w), qkv.dtype
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(qkv, tbh, tbw)
+
     kernel = functools.partial(
         _relpos_tables_kernel, heads=heads, hd=hd, w=w, s=sc
     )
