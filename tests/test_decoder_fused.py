@@ -44,7 +44,8 @@ def test_i2t_keys_update_matches_naive(k_share, v2):
     rng = np.random.default_rng(2)
     heads, hd, tq = 2, 8, 3
     dh = heads * hd
-    nsrc, t, c = 2, 16, 32
+    # nsrc=4 so the v2 k_share=1 case hits pb=4 on per-prompt keys
+    nsrc, t, c = 4, 16, 32
     n = nsrc * k_share
     eps = 1e-6
     f = lambda *s: rng.normal(size=s).astype(np.float32)

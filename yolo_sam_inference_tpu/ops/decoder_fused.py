@@ -346,8 +346,16 @@ def i2t_keys_update(
         if n % 2 == 0 and (k_share == 1 or k_share % 2 == 0) and t * c <= 2**18
         else 1
     )
-    if use_v2 and k_share % 4 == 0 and n % 4 == 0 and t * c <= 2**18:
-        # shared-source (layer 0) steps: 4 prompts amortize one kk/qp
+    if (
+        use_v2
+        and (k_share == 1 or k_share % 4 == 0)
+        and n % 4 == 0
+        and t * c <= 2**18
+    ):
+        # 4 prompts per grid step: shared-source (layer 0) steps amortize
+        # one hoisted kk/qp 4x; per-prompt (layer 1+) steps just halve the
+        # grid-step count. A 4-prompt keys block at t*c <= 2**18 is half
+        # the bytes of the proven t=4096 pb=2 block.
         pb = 4
     shared_src = k_share > 1
     if shared_src:
