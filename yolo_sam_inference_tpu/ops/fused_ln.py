@@ -90,15 +90,23 @@ def fused_add_ln(x, res, scale, bias, eps: float = 1e-6, interpret: bool = False
 
 
 def _erf_as(x):
-    """Abramowitz-Stegun 7.1.26 erf approximation (fp32, |err| <= 1.5e-7)."""
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
+    """Abramowitz-Stegun 7.1.26 erf approximation (|err| <= 1.5e-7).
+
+    Always evaluated in fp32 (result cast back to the input dtype): the
+    polynomial is useless at bf16 precision, and Mosaic cannot lower the
+    packed-bf16 vector compare ``jnp.sign`` needs on v5e ("Target does not
+    support this comparison"), so a bf16-compute caller (BENCH_TV_BF16)
+    would fail to compile.
+    """
+    xf = x.astype(jnp.float32)
+    sign = jnp.sign(xf)
+    ax = jnp.abs(xf)
     t = 1.0 / (1.0 + 0.3275911 * ax)
     poly = t * (
         0.254829592
         + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
     )
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+    return (sign * (1.0 - poly * jnp.exp(-ax * ax))).astype(x.dtype)
 
 
 def _mlp_rows(ln, w1_ref, b1_ref, w2_ref, b2_ref, act_dtype):
