@@ -83,29 +83,37 @@ def batched_image_loader(
     )
     with pool_cm as pool:
         decode = pool.map if num_workers > 1 else map
+        # Yield each batch the moment it fills (NOT after the whole decode
+        # chunk): the consumer's first dispatch happens after batch_size
+        # decodes instead of chunk_files — decoding a full 4-batch chunk
+        # up front left the device idle ~1.3 s at the head of every
+        # directory run and delivered batches in bursts that overflowed
+        # the prefetch queue's smoothing.
+        t_mark = time.time()
         for start in range(0, len(files), chunk_files):
             chunk = files[start : start + chunk_files]
-            t0 = time.time()
             for path, img in zip(chunk, decode(_safe_load, chunk)):
                 if img is None or img.size == 0:
                     logger.warning("Skipping unreadable image: %s", path)
                     skipped.append(str(path))
                     continue
-                pending.setdefault(img.shape, []).append((path, img))
-            load_s = time.time() - t0
-            n_loaded = max(sum(len(v) for v in pending.values()), 1)
-            per_img = load_s / n_loaded
-            for shape in list(pending):
-                items = pending[shape]
-                while len(items) >= batch_size:
-                    yield emit(items[:batch_size], per_img)
+                items = pending.setdefault(img.shape, [])
+                items.append((path, img))
+                if len(items) >= batch_size:
+                    # decode seconds since the last yield (consumer
+                    # queue-block time excluded: t_mark resets after yield)
+                    load_s = time.time() - t_mark
+                    yield emit(items[:batch_size], load_s / batch_size)
                     del items[:batch_size]
-                if not items:
-                    del pending[shape]
-    # final partial batches
-    for items in pending.values():
-        if items:
-            yield emit(items, 0.0)
+                    if not items:
+                        del pending[img.shape]
+                    t_mark = time.time()
+    # final partial batches (the accumulated tail decode time goes to the
+    # first; emit scales per-image attribution by n_valid)
+    rest = [items for items in pending.values() if items]
+    for i, items in enumerate(rest):
+        load_s = (time.time() - t_mark) if i == 0 else 0.0
+        yield emit(items, load_s / max(len(items), 1))
 
     if skipped and skipped_report is not None:
         skipped_report.parent.mkdir(parents=True, exist_ok=True)
