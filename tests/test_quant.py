@@ -370,3 +370,46 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-v"]))
+
+
+def test_quant_report_tool(tmp_path, rng):
+    """apps/quant_report.py — the int8 calibration story: bf16 and int8
+    pipelines over the same images, report with per-metric |Δ| + mask IoU
+    (CSV + summary + return dict). Same seed => same weights, so the only
+    divergence is the 8-bit rounding."""
+    from PIL import Image
+
+    from yolo_sam_inference_tpu.apps.quant_report import run_report
+    from yolo_sam_inference_tpu.models.sam import sam_tiny_test
+    from yolo_sam_inference_tpu.pipeline.engine import (
+        CellSegmentationPipeline,
+        PipelineOptions,
+    )
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    files = []
+    for i in range(3):
+        p = src / f"i{i}.png"
+        Image.fromarray(make_cell_image(rng)).save(p)
+        files.append(p)
+
+    mk = lambda quant: CellSegmentationPipeline(
+        sam_config=sam_tiny_test(),
+        options=PipelineOptions(batch_size=2, max_det=4, quant=quant),
+    )
+    out = tmp_path / "report"
+    summary = run_report(mk("none"), mk("int8"), files, out, batch_size=2)
+
+    assert (out / "quant_calibration.csv").exists()
+    text = (out / "quant_calibration_summary.txt").read_text()
+    assert "calibration report" in text and "3 images" in text
+    assert "iou" in summary and summary["iou"]["n"] > 0
+    # random tiny weights are a worst case for quantization noise; still,
+    # identical weights + int8 rounding must keep masks broadly intact
+    assert summary["iou"]["mean"] > 0.5
+    assert "deformability" in summary
+    import csv as _csv
+
+    rows = {r["quantity"] for r in _csv.DictReader(open(out / "quant_calibration.csv"))}
+    assert {"iou", "deformability", "area", "perimeter"} <= rows
