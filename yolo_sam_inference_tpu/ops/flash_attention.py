@@ -436,7 +436,12 @@ def flash_attention_grid(
     # blocks must fit the ~16 MB VMEM budget. Wide-channel configs (ViT-L/H,
     # C >= 1024) halve both budgets: the folded-bias k_aug temporaries scale
     # with heads * nk and overflow VMEM at the ViT-B tile sizes.
+    # SAM_FLASH_QQ / SAM_FLASH_KQ / SAM_FLASH_WPSB override the token/byte
+    # budgets for device A/B sweeps (tools/sweep_flash.py); defaults are the
+    # measured-best serving configuration.
     kq_budget, qq_budget = (1024, 256) if c < 1024 else (512, 128)
+    kq_budget = int(os.environ.get("SAM_FLASH_KQ", kq_budget))
+    qq_budget = int(os.environ.get("SAM_FLASH_QQ", qq_budget))
     if block_ky is None:
         block_ky = max(d for d in range(1, window + 1)
                        if window % d == 0 and d * window <= kq_budget)
@@ -458,11 +463,12 @@ def flash_attention_grid(
     if num_k == 1 and num_q == 1:
         # VMEM bound: the q/k/v/rhw/out blocks + per-head fp32 logits all
         # scale with wps * window^2 * C (ViT-L's C=1024 overflows at wps=2)
+        wpsb = int(os.environ.get("SAM_FLASH_WPSB", 400_000))
         wps = max(
             d for d in range(1, nw + 1)
             if nw % d == 0
             and d * window * window <= 1024
-            and d * window * window * c <= 400_000
+            and d * window * window * c <= wpsb
         )
     nwx = nw // wps
     grid = (b * nw * nwx, num_q, num_k)
