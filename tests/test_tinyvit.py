@@ -361,3 +361,73 @@ def test_mobile_sam_engine_integration():
     assert out["mask_crops"].shape[0] == 1
 
 
+
+
+def test_cells_attention_matches_v1():
+    """SAM_TV_ATTN_V2 cell-layout attention == the v1 window-partition
+    kernel (itself parity-pinned to the plain path) for every TinyViT-5M
+    stage geometry, including non-dividing windows (spatial pad), the
+    ws=14 cell-pad case, and small grids where nb>1 packs several images
+    per step."""
+    from yolo_sam_inference_tpu.models.sam.tinyvit import _offset_index
+    from yolo_sam_inference_tpu.ops.tinyvit_attention import (
+        tinyvit_window_block,
+        tinyvit_window_block_cells,
+    )
+
+    rng = np.random.default_rng(7)
+    for b, hw, c, heads, ws in (
+        (2, 16, 128, 4, 7),   # stage1 geometry, pad 16->21
+        (2, 15, 160, 5, 14),  # stage2: ws=14 cells (pad cols 14->16)
+        (4, 9, 320, 10, 7),   # stage3 tiny grid -> nb>1 per step
+        (1, 14, 128, 4, 7),   # exact tiling, no spatial pad
+    ):
+        bias = jnp.asarray(
+            rng.normal(0, 0.5, (heads, (2 * ws - 1) ** 2)), jnp.float32
+        )[:, _offset_index(ws)]
+        args = [
+            jnp.asarray(rng.normal(0, 0.1, s), jnp.float32)
+            for s in [(c,), (c,), (c, 3 * c), (3 * c,), (c, c), (c,)]
+        ]
+        x = jnp.asarray(rng.normal(size=(b, hw, hw, c)), jnp.float32)
+        v1 = tinyvit_window_block(x, bias, *args, heads, ws, interpret=True)
+        v2 = tinyvit_window_block_cells(
+            x, bias, *args, heads, ws, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v1), atol=3e-5, rtol=1e-4,
+            err_msg=f"(b={b}, hw={hw}, c={c}, heads={heads}, ws={ws})",
+        )
+
+
+def test_cells_attention_engine_geometries():
+    """Cell-layout attention at the exact 512-canvas bench geometries
+    (stage1 64^2/ws7, stage2 32^2/ws14, stage3 16^2/ws7) == v1."""
+    from yolo_sam_inference_tpu.models.sam.tinyvit import _offset_index
+    from yolo_sam_inference_tpu.ops.tinyvit_attention import (
+        tinyvit_window_block,
+        tinyvit_window_block_cells,
+    )
+
+    rng = np.random.default_rng(11)
+    for b, hw, c, heads, ws in (
+        (1, 64, 128, 4, 7),
+        (1, 32, 160, 5, 14),
+        (2, 16, 320, 10, 7),
+    ):
+        bias = jnp.asarray(
+            rng.normal(0, 0.5, (heads, (2 * ws - 1) ** 2)), jnp.float32
+        )[:, _offset_index(ws)]
+        args = [
+            jnp.asarray(rng.normal(0, 0.1, s), jnp.float32)
+            for s in [(c,), (c,), (c, 3 * c), (3 * c,), (c, c), (c,)]
+        ]
+        x = jnp.asarray(rng.normal(size=(b, hw, hw, c)), jnp.float32)
+        v1 = tinyvit_window_block(x, bias, *args, heads, ws, interpret=True)
+        v2 = tinyvit_window_block_cells(
+            x, bias, *args, heads, ws, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v1), atol=3e-5, rtol=1e-4,
+            err_msg=f"(b={b}, hw={hw}, c={c}, heads={heads}, ws={ws})",
+        )

@@ -192,11 +192,26 @@ def _tinyvit_block(
     fused: bool = False, interpret: bool = False,
 ) -> jnp.ndarray:
     if fused:
-        from ...ops.fused_ln import fused_ln_mlp
-        from ...ops.tinyvit_attention import tinyvit_window_block
+        import os as _os
 
+        from ...ops.fused_ln import fused_ln_mlp
+        from ...ops.tinyvit_attention import (
+            tinyvit_window_block,
+            tinyvit_window_block_cells,
+        )
+
+        # Cell-layout attention I/O (windows in ws x ws8 spatial cells)
+        # replaces the XLA 6D window partition/inverse transposes around
+        # the kernel with one pad copy + one slice — measured 648.5 ->
+        # 664.0 img/s on the MobileSAM bench config. SAM_TV_ATTN_V2=0 is
+        # the kill switch back to the partitioned-layout kernel.
+        attn_block = (
+            tinyvit_window_block_cells
+            if _os.environ.get("SAM_TV_ATTN_V2", "1") == "1"
+            else tinyvit_window_block
+        )
         a = p["attn"]
-        x = tinyvit_window_block(
+        x = attn_block(
             x, a["attn_bias"][:, _offset_index(ws)],
             p["ln1"]["scale"], p["ln1"]["bias"],
             a["qkv_w"], a["qkv_b"], a["proj_w"], a["proj_b"],
