@@ -77,6 +77,7 @@ def test_loader_skipped_audit(tmp_path, rng):
     assert "bad.png" in audit and "zero.png" in audit
 
 
+@pytest.mark.slow
 def test_run_config_snapshot(tmp_path, rng):
     import jax.numpy as jnp
     from PIL import Image

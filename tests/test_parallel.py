@@ -46,6 +46,7 @@ def test_data_parallel_matmul_correctness():
     np.testing.assert_allclose(np.asarray(out), x @ w, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_runs_on_mesh():
     from yolo_sam_inference_tpu.models.sam import sam_tiny_test
     from yolo_sam_inference_tpu.parallel.mesh import shard_batch as sb
@@ -122,6 +123,7 @@ def _tiny_setup():
     return sam_tiny_test(), YoloConfig(num_classes=1), opts
 
 
+@pytest.mark.slow
 def test_data_parallel_inference_matches_single_device(_tiny_setup):
     """dp-sharded inference (mesh=) is numerically equal to single-device,
     including a batch size that does not divide dp (pad-and-slice path)."""
@@ -149,6 +151,7 @@ def test_data_parallel_inference_matches_single_device(_tiny_setup):
     assert out_m["boxes"].shape[0] == 6  # padding rows sliced off
 
 
+@pytest.mark.slow
 def test_data_parallel_process_directory(_tiny_setup, tmp_path):
     """process_directory under a dp mesh: the async fused dispatches shard
     over devices and the per-cell results equal the single-device run

@@ -49,6 +49,7 @@ def tiny_pipeline():
     )
 
 
+@pytest.mark.slow
 def test_process_batch_arrays_shapes(tiny_pipeline):
     rng = np.random.default_rng(0)
     imgs = np.stack([make_cell_image(rng) for _ in range(2)])
@@ -77,6 +78,7 @@ def test_invalid_cells_zeroed(tiny_pipeline):
     assert (~out["mask_crops"][invalid].any(axis=(-2, -1))).all()
 
 
+@pytest.mark.slow
 def test_fetch_masks_false_skips_crop_transfer(tiny_pipeline):
     """fetch_masks=False (the CSV-only directory path) must skip the mask
     bitpack + device->host crop transfer (~4 MB/batch at serving shape — the
@@ -97,6 +99,7 @@ def test_fetch_masks_false_skips_crop_transfer(tiny_pipeline):
         )
 
 
+@pytest.mark.slow
 def test_grayscale_transfer_path_matches_rgb(tiny_pipeline):
     """Replicated-RGB batches take the 1-channel host->device transfer path
     (engine._images_to_device) and must produce identical outputs."""
@@ -128,6 +131,7 @@ def test_grayscale_transfer_path_matches_rgb(tiny_pipeline):
             )
 
 
+@pytest.mark.slow
 def test_process_single_image_timing_schema(tiny_pipeline, tmp_path):
     from PIL import Image
 
@@ -230,6 +234,7 @@ def test_async_directory_path_matches_stage_api(tiny_pipeline, tmp_path):
     assert stats["wall_s"] >= stats["sample_sync_s"]
 
 
+@pytest.mark.slow
 def test_mixed_shapes_grouped(tiny_pipeline, tmp_path):
     from PIL import Image
 
@@ -242,6 +247,7 @@ def test_mixed_shapes_grouped(tiny_pipeline, tmp_path):
     assert len(batch.results) == 2
 
 
+@pytest.mark.slow
 def test_parallel_pipeline_ndarray_api():
     pipe = ParallelCellSegmentationPipeline(
         sam_config=sam_tiny_test(),

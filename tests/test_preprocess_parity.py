@@ -16,6 +16,7 @@ from yolo_sam_inference_tpu.ops.preprocess import (
 )
 
 
+@pytest.mark.slow
 def test_sam_preprocess_matches_hf_processor(rng):
     """Resize-longest-side + normalize + zero-pad vs SamImageProcessor."""
     from transformers.models.sam.image_processing_sam import SamImageProcessor
@@ -53,6 +54,7 @@ def test_letterbox_box_roundtrip(rng):
     assert abs(float(lb[0, 0, 0, 0]) - 114 / 255) < 1e-5
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mask_threshold", [0.0])
 def test_mask_iou_vs_torch_postprocessing(mask_threshold):
     """End-to-end mask parity: our crop-sampled masks vs the reference route
@@ -156,6 +158,7 @@ def test_mask_iou_vs_torch_postprocessing(mask_threshold):
     assert min(conf_ious) >= 0.99, conf_ious  # BASELINE bar off the knife-edge
 
 
+@pytest.mark.slow
 def test_mask_iou_all_pixel_larger_config():
     """VERDICT r1 #8: the 0.97 all-pixel floor of the tiny test above is the
     64-canvas random-weight boundary effect (knife-edge logits at a 16x16

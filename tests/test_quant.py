@@ -108,6 +108,7 @@ def test_encoder_int8_drift_bounded():
     assert rel < 0.05, rel
 
 
+@pytest.mark.slow
 def test_pipeline_quant_masks_match_float():
     """End-to-end: quant='int8' pipeline masks agree with the exact float
     run (same seed => same weights; only the encoder numerics differ)."""
@@ -372,6 +373,7 @@ if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-v"]))
 
 
+@pytest.mark.slow
 def test_quant_report_tool(tmp_path, rng):
     """apps/quant_report.py — the int8 calibration story: bf16 and int8
     pipelines over the same images, report with per-metric |Δ| + mask IoU

@@ -84,6 +84,7 @@ def tiny_pipeline():
     )
 
 
+@pytest.mark.slow
 def test_process_pending_resume(tmp_path, tiny_pipeline, rng):
     from PIL import Image
 

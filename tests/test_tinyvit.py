@@ -363,6 +363,7 @@ def test_mobile_sam_engine_integration():
 
 
 
+@pytest.mark.slow
 def test_cells_attention_matches_v1():
     """SAM_TV_ATTN_V2 cell-layout attention == the v1 window-partition
     kernel (itself parity-pinned to the plain path) for every TinyViT-5M
@@ -400,6 +401,7 @@ def test_cells_attention_matches_v1():
         )
 
 
+@pytest.mark.slow
 def test_cells_attention_engine_geometries():
     """Cell-layout attention at the exact 512-canvas bench geometries
     (stage1 64^2/ws7, stage2 32^2/ws14, stage3 16^2/ws7) == v1."""

@@ -310,6 +310,7 @@ def test_official_checkpoint_detection(torch_tinyvit):
     assert not is_mobilesam_state_dict({"vision_encoder.pos_embed": 0})
 
 
+@pytest.mark.slow
 def test_tinyvit_encoder_parity(torch_tinyvit):
     """Full-graph parity: official-layout state dict -> converter -> our
     encoder == torch forward (BN folding, qkv head interleave, abs-offset
