@@ -42,6 +42,10 @@ TAGS = {
     "i2t_v2": ("config 1 + shared-source i2t fast path (SAM_I2T_V2)", 504.36),
     "combined_v2": ("config 1 + relpos_v2 + i2t_v2", 504.36),
     "mobilesam_i2t_v2": ("config 2 + shared-source i2t fast path", 648.46),
+    "mobilesam_tvbf16_fixed": ("config 2 + bf16 MBConv, post erf-fp32 fix", 648.46),
+    "mobilesam_tv_both_fixed": ("config 2 + bf16 MBConv + s2d stems, post fix", 648.46),
+    "mobilesam_attn_cells": ("config 2 + cell-layout window attention", 648.46),
+    "mobilesam_merge32": ("config 2 + TINYVIT_FUSED_MERGE_MIN_H=32 (A/B)", 664.01),
 }
 
 
