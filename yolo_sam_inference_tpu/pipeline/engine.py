@@ -926,11 +926,17 @@ class CellSegmentationPipeline:
         from .loader import prefetch_iterator
 
         bsz = self.options.batch_size
+        import os as _os
+
+        # measured-best on the 1-vCPU tunneled host (BENCH_NOTES r3 s5);
+        # env knobs for pipelining A/Bs on other hosts
+        depth = int(_os.environ.get("E2E_PREFETCH_DEPTH", "3"))
+        inflight = int(_os.environ.get("E2E_INFLIGHT", "2"))
         batches = prefetch_iterator(
             batched_image_loader(
                 files, bsz, skipped_report=output_dir / "skipped_images.txt"
             ),
-            depth=3,
+            depth=depth,
         )
         # Async pipelined execution (single-core host, tunneled device): the
         # fused program for batch i is dispatched without sync, then batch
@@ -1052,11 +1058,11 @@ class CellSegmentationPipeline:
                 (run_batch(timed, batch_imgs, batch_paths, n_valid, load_s),
                  batch_imgs)
             )
-            # two async batches in flight: the fetch RPC wait for batch i-2
-            # overlaps batch i-1's device compute AND batch i's host decode
-            # (measured 3.9 s of idle RPC wait per 768-image run with a
-            # single in-flight batch on the tunneled link)
-            if len(pending) > 2:
+            # two async batches in flight (default): the fetch RPC wait for
+            # batch i-2 overlaps batch i-1's device compute AND batch i's
+            # host decode (measured 3.9 s of idle RPC wait per 768-image run
+            # with a single in-flight batch on the tunneled link)
+            if len(pending) > inflight:
                 finish(*pending.pop(0))
         while pending:
             finish(*pending.pop(0))
