@@ -234,6 +234,40 @@ def test_async_directory_path_matches_stage_api(tiny_pipeline, tmp_path):
     assert stats["wall_s"] >= stats["sample_sync_s"]
 
 
+def test_sub_batch_timing_sample(tiny_pipeline, tmp_path, monkeypatch):
+    """E2E_SAMPLE_BATCH smaller than the batch size: the timing sample runs
+    on a stage-jitted SUB-batch while every full batch (including the
+    sampled one) goes through the async fused path; per-image timing rows
+    carry the sampled per-stage device seconds."""
+    from PIL import Image
+
+    monkeypatch.setenv("E2E_SAMPLE_BATCH", "1")
+    rng = np.random.default_rng(11)
+    imgs = [make_cell_image(rng) for _ in range(4)]
+    in_dir = tmp_path / "sub_in"
+    in_dir.mkdir()
+    for i, im in enumerate(imgs):
+        Image.fromarray(im).save(in_dir / f"im_{i}.png")
+
+    batch = tiny_pipeline.process_directory(
+        in_dir, tmp_path / "sub_out", progress=False
+    )
+    assert len(batch.results) == 4
+    stage_keys = ("yolo_detection", "sam_preprocess",
+                  "sam_inference_total", "metrics_total")
+    per_image = {k: batch.results[0].timing[k] for k in stage_keys}
+    for res in batch.results:
+        for k in stage_keys:
+            assert res.timing[k] > 0.0
+            # every row carries the same sampled per-image stage seconds
+            assert res.timing[k] == pytest.approx(per_image[k], rel=1e-9)
+    # oracle parity: the async fused outputs match the synced stage API
+    out = tiny_pipeline.process_batch_arrays(np.stack(imgs[:2]))
+    by_name = {Path(r.image_path).name: r for r in batch.results}
+    for j in range(2):
+        assert by_name[f"im_{j}.png"].num_cells == int(out["valid"][j].sum())
+
+
 @pytest.mark.slow
 def test_mixed_shapes_grouped(tiny_pipeline, tmp_path):
     from PIL import Image

@@ -660,7 +660,8 @@ class CellSegmentationPipeline:
         images: np.ndarray,
         timings: Optional[Dict[str, float]] = None,
         fetch_masks: bool = True,
-    ) -> Dict[str, np.ndarray]:
+        fetch_outputs: bool = True,
+    ) -> Optional[Dict[str, np.ndarray]]:
         """Run the stage-jitted pipeline on a uint8 batch — (B, H, W, 3)
         RGB or (B, H, W) grayscale (the loader collapses replicated-RGB
         sources; the device re-broadcasts for free).
@@ -672,6 +673,9 @@ class CellSegmentationPipeline:
         bitpack + device->host crop transfer (~4 MB/batch at the default
         shape — the dominant fetch cost on the tunneled link) and returns
         ``mask_crops=None``; metrics/boxes are unaffected (CSV-only runs).
+        ``fetch_outputs=False`` returns ``None`` after the (synced, timed)
+        stage dispatches — the timing-sample mode of
+        :meth:`process_directory`, which only needs the per-stage seconds.
         """
         h, w = images.shape[1], images.shape[2]
         st = self._stages(h, w)
@@ -692,6 +696,8 @@ class CellSegmentationPipeline:
         )
         gray = _gray_f32(dev_images)
         mets = timed("metrics_total", st["metrics"], crops, offs, gray)
+        if not fetch_outputs:
+            return None
         # 1 bit/px across the link, unpack on host
         packed = st["pack"](crops) if fetch_masks else None
         return self._fetch_outputs(
@@ -942,11 +948,12 @@ class CellSegmentationPipeline:
         # fused program for batch i is dispatched without sync, then batch
         # i-1's results are fetched/assembled while i computes — overlapping
         # device work with host decode + CSV assembly. Per-stage timing rows
-        # come from a synced, stage-jitted SAMPLE batch (the first, then
-        # every 16th); intermediate batches reuse the latest sample
-        # (per-image amortization was already the reporting contract).
-        # Short runs (< 2 batches) keep the pure stage path — the fused
-        # program would cost an extra XLA compile for no overlap benefit.
+        # come from a synced, stage-jitted SAMPLE sub-batch (at the first
+        # batch, then every 16th); all batches reuse the latest sample's
+        # per-image values (per-image amortization was already the
+        # reporting contract). Short runs (< 2 batches) keep the pure stage
+        # path — the fused program would cost an extra XLA compile for no
+        # overlap benefit.
         few = len(files) <= bsz
         pending: List[Tuple[Any, Any, List[Path], int, Dict[str, float]]] = []
         sampled: Dict[str, float] = {}
@@ -960,23 +967,49 @@ class CellSegmentationPipeline:
                  "n_images": 0, "n_batches": 0, "n_sample_batches": 0}
         wall_t0 = time.perf_counter()
 
+        # timing-sample sub-batch size: per-stage timing rows come from a
+        # synced stage-jitted run of this many images (not the full batch —
+        # the full-batch synced sample serialized ~1.5-2 s per 768-image
+        # run against the async fused steady state)
+        sample_n = max(1, int(_os.environ.get("E2E_SAMPLE_BATCH", "32")))
+
         def run_batch(timed, batch_imgs, batch_paths, n_valid, load_s):
             timings: Dict[str, float] = {"image_load": load_s}
             stats["decode_s"] += load_s
             stats["n_batches"] += 1
-            if timed:
+            if timed and few:
+                # single-batch runs: the stage path IS the whole run — one
+                # synced pass yields both the results and the timing rows
+                # (a fused program would cost an extra compile for nothing)
                 t0 = time.perf_counter()
                 out = self.process_batch_arrays(
                     batch_imgs, timings, fetch_masks=save_visualizations
                 )
                 stats["sample_sync_s"] += time.perf_counter() - t0
                 stats["n_sample_batches"] += 1
-                sampled.clear()
-                sampled.update(
-                    {k: v for k, v in timings.items() if k != "image_load"}
-                )
                 return (out, None, batch_paths, n_valid, timings)
-            timings.update(sampled)
+            if timed:
+                # sample per-stage device seconds on a small synced
+                # sub-batch (the per-image amortized timing contract,
+                # reference pipeline.py:271-284); the full batch then flows
+                # through the async fused path like every other batch
+                sb = min(sample_n, len(batch_imgs))
+                stage_t: Dict[str, float] = {}
+                t0 = time.perf_counter()
+                self.process_batch_arrays(
+                    batch_imgs[:sb], stage_t,
+                    fetch_masks=False, fetch_outputs=False,
+                )
+                stats["sample_sync_s"] += time.perf_counter() - t0
+                stats["n_sample_batches"] += 1
+                sampled.clear()
+                sampled.update({k: v / sb for k, v in stage_t.items()})
+            # stage keys scaled to this batch's size: rows divide by
+            # n_valid again in finish(), so each row carries the sampled
+            # per-image device seconds
+            timings.update(
+                {k: v * max(n_valid, 1) for k, v in sampled.items()}
+            )
             t0 = time.perf_counter()
             handles = self._dispatch_batch(
                 batch_imgs, fetch_masks=save_visualizations
