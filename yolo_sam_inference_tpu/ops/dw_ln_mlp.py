@@ -16,12 +16,18 @@ the MXU matmul issue.
 
 out = y + mlp2(gelu(mlp1(LN(y)))),  y = dw3x3(x) + b_dw
 
-Row-strip grid with one-row top/bottom halos (height-1 BlockSpec blocks
-can address any row — the ops/mbconv_fused.py pattern). The input's
-spatial zero padding is the genuine 'same'-conv padding (no re-masking
-needed: unlike MBConv there is no preceding bias/GELU to leak through
-zeros). Both MLP weight matrices stay VMEM-resident (TinyViT dims:
-128/160/320 x 4).
+Row-strip grid over the UNPADDED input: the one-row top/bottom halos are
+height-1 BlockSpec blocks with CLAMPED index maps (a height-1 block can
+address any row, so `max(i*h-1, 0)` / `min(i*h+h, H-1)` fetch the
+neighbor row, or a duplicate row at the image boundary that the kernel
+re-zeroes — duplicates stand in for the conv's 'same' padding). The
+width padding (one zero column left, sublane-alignment zeros right)
+happens IN-KERNEL on the VMEM-resident strip. The previous version
+staged a spatially zero-padded copy of the whole activation through HBM
+(full-tensor jnp.pad + lax.slice, ~4 ms/iter at the MobileSAM B=128
+bench for the ten block tails) — this version reads x directly and pays
+only a strip-sized VMEM move that overlaps the matmul issue. Both MLP
+weight matrices stay VMEM-resident (TinyViT dims: 128/160/320 x 4).
 
 Reference anchor: MobileSAM tiny_vit_sam.py TinyViTBlock.local_conv;
 variant swap by checkpoint name (reference pipeline.py:76).
@@ -42,18 +48,26 @@ from .fused_ln import _ln_rows, _mlp_rows
 def _dw_ln_mlp_kernel(
     xc_ref, xt_ref, xb_ref, wd_ref, bd_ref, s_ref, b_ref,
     w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-    *, h: int, w: int, eps: float,
+    *, h: int, nh: int, w: int, wp: int, eps: float,
 ):
-    wp = xc_ref.shape[2]
     c = xc_ref.shape[3]
 
-    xc = xc_ref[0]  # (h, Wp, C) center strip
-    xt = xt_ref[0]  # (1, Wp, C) row above
-    xb = xb_ref[0]  # (1, Wp, C) row below
-    ext = jnp.concatenate([xt, xc, xb], axis=0)  # (h+2, Wp, C)
+    xc = xc_ref[0]  # (h, W, C) center strip
+    xt = xt_ref[0]  # (1, W, C) row above (clamped duplicate on strip 0)
+    xb = xb_ref[0]  # (1, W, C) row below (clamped duplicate on the last)
+    ext = jnp.concatenate([xt, xc, xb], axis=0)  # (h+2, W, C)
 
-    # depthwise 3x3: 9 shifted VPU FMAs; the padded rows/cols ARE the
-    # 'same' padding zeros, so edge taps are exact with no masking
+    # 'same'-padding semantics: the clamped halo rows at the image
+    # boundary and the left/right columns must read as zeros
+    i = pl.program_id(1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h + 2, 1, 1), 0)
+    row_ok = ((row > 0) | (i > 0)) & ((row < h + 1) | (i < nh - 1))
+    ext = jnp.where(row_ok, ext, jnp.zeros((), ext.dtype))
+    zl = jnp.zeros((h + 2, 1, c), ext.dtype)
+    zr = jnp.zeros((h + 2, wp - w - 1, c), ext.dtype)
+    ext = jnp.concatenate([zl, ext, zr], axis=1)  # (h+2, Wp, C)
+
+    # depthwise 3x3: 9 shifted VPU FMAs on the VMEM-resident strip
     acc = jnp.broadcast_to(bd_ref[...].reshape(1, 1, c), (h, w, c)).astype(
         jnp.float32
     )
@@ -94,7 +108,6 @@ def dw_ln_mlp(
     interpret = interpret or not mosaic_backend()
 
     wp = (wid + 2 + 7) // 8 * 8
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wid - 1), (0, 0)))
 
     # strip height: divisor of H; bound the (h*w, hidden) fp32 accumulator
     # + bf16 hidden + the input strips to the VMEM budget
@@ -104,14 +117,24 @@ def dw_ln_mlp(
             h = cand
     nh = hgt // h
 
-    kernel = functools.partial(_dw_ln_mlp_kernel, h=h, w=wid, eps=eps)
+    kernel = functools.partial(
+        _dw_ln_mlp_kernel, h=h, nh=nh, w=wid, wp=wp, eps=eps
+    )
     out = pl.pallas_call(
         kernel,
         grid=(b, nh),
         in_specs=[
-            pl.BlockSpec((1, h, wp, c), lambda bi, i: (bi, i, 0, 0)),
-            pl.BlockSpec((1, 1, wp, c), lambda bi, i, _h=h: (bi, i * _h, 0, 0)),
-            pl.BlockSpec((1, 1, wp, c), lambda bi, i, _h=h: (bi, i * _h + _h + 1, 0, 0)),
+            pl.BlockSpec((1, h, wid, c), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, wid, c),
+                lambda bi, i, _h=h: (bi, jnp.maximum(i * _h - 1, 0), 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, wid, c),
+                lambda bi, i, _h=h, _hi=hgt - 1: (
+                    bi, jnp.minimum(i * _h + _h, _hi), 0, 0,
+                ),
+            ),
             pl.BlockSpec((3, 3, c), lambda bi, i: (0, 0, 0)),
             pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
             pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
@@ -128,9 +151,9 @@ def dw_ln_mlp(
         ),
         interpret=interpret,
     )(
-        jax.lax.slice(xp, (0, 1, 0, 0), (b, 1 + hgt, wp, c)),
-        xp,
-        xp,
+        x,
+        x,
+        x,
         wd.reshape(3, 3, c).astype(jnp.float32),
         bd.reshape(1, c).astype(jnp.float32),
         scale.reshape(1, c).astype(x.dtype),

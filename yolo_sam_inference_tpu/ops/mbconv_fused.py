@@ -8,8 +8,8 @@ round-tripping HBM between each, and its depthwise emitter
 MobileSAM bench (B=32, 512px) the two stage-0 dwconvs profiled 4.9 ms EACH
 and the full MBConv chain ~16 ms of a 57 ms iteration.
 
-This kernel streams row strips of the (spatially zero-padded) input and
-keeps the expanded activation entirely in VMEM:
+This kernel streams row strips of the input directly from HBM and keeps
+the expanded activation entirely in VMEM:
 
 * conv1 (1x1) runs as one (rows, C) @ (C, E) matmul over the strip PLUS
   its one-row halos above/below (1x1 conv => halo expansion is exact
@@ -26,8 +26,14 @@ HBM traffic drops to ~1.1x read + 1x write of the UNEXPANDED tensor.
 
 The halo rows ride Pallas BlockSpecs with block height 1: a height-1 block
 can address ANY row (index maps return block-sized offsets), so the same
-padded input is passed three times — an (h)-row center block plus the rows
-just above and below it.
+UNPADDED input is passed three times — an (h)-row center block plus
+CLAMPED index maps fetching the rows just above and below it (duplicate
+rows at the image boundary — harmless, those positions are re-masked
+after conv1 anyway). The width padding to the sublane multiple happens
+IN-KERNEL on the VMEM-resident strip; the previous version staged a
+spatially zero-padded copy of the whole activation through HBM
+(full-tensor jnp.pad + lax.slice, ~6.7 ms/iter at the MobileSAM B=128
+bench across the eight stage-0 blocks).
 
 Reference anchor: MobileSAM tiny_vit_sam.py MBConv.forward; stage-0 swap
 selected by checkpoint name (reference pipeline.py:76).
@@ -54,9 +60,8 @@ def _gelu_f32(x):
 def _mbconv_kernel(
     xc_ref, xt_ref, xb_ref, w1_ref, b1_ref, wd_ref, bd_ref, w3_ref, b3_ref,
     o_ref,
-    *, h: int, nh: int, w: int, compute_bf16: bool,
+    *, h: int, nh: int, w: int, wp: int, compute_bf16: bool,
 ):
-    wp = xc_ref.shape[2]  # W padded +1 left and to a sublane multiple right
     c = xc_ref.shape[3]
     e = w1_ref.shape[1]
     # compute_bf16: run the VPU-bound stretch (GELUs + the 9-tap depthwise
@@ -65,10 +70,16 @@ def _mbconv_kernel(
     # tests/test_tinyvit.py::test_mbconv_bf16_compute_bound.
     cdt = xc_ref.dtype if compute_bf16 else jnp.float32
 
-    xc = xc_ref[0]  # (h, Wp, C) center strip
-    xt = xt_ref[0]  # (1, Wp, C) row above
-    xb = xb_ref[0]  # (1, Wp, C) row below
-    ext = jnp.concatenate([xt, xc, xb], axis=0)  # (h+2, Wp, C)
+    xc = xc_ref[0]  # (h, W, C) center strip
+    xt = xt_ref[0]  # (1, W, C) row above (clamped duplicate on strip 0)
+    xb = xb_ref[0]  # (1, W, C) row below (clamped duplicate on the last)
+    ext = jnp.concatenate([xt, xc, xb], axis=0)  # (h+2, W, C)
+    # width pad in-kernel: +1 column left ('same' dw), zeros right to the
+    # sublane multiple; padded positions (and the boundary halo rows, which
+    # hold clamped duplicate data) are re-masked after conv1 below
+    zl = jnp.zeros((h + 2, 1, c), ext.dtype)
+    zr = jnp.zeros((h + 2, wp - w - 1, c), ext.dtype)
+    ext = jnp.concatenate([zl, ext, zr], axis=1)  # (h+2, Wp, C)
 
     flat = ext.reshape((h + 2) * wp, c)
     h1 = (
@@ -109,7 +120,7 @@ def _mbconv_kernel(
         )
         + b3_ref[...]
     )
-    res = xc[:, 1 : 1 + w, :].reshape(h * w, c).astype(jnp.float32)
+    res = xc.reshape(h * w, c).astype(jnp.float32)
     o_ref[0] = (
         _gelu_f32((res + out).astype(cdt)).astype(xc.dtype).reshape(h, w, c)
     )
@@ -150,19 +161,25 @@ def mbconv_block(
             h = cand
     nh = hgt // h
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wid - 1), (0, 0)))
-
     kernel = functools.partial(
-        _mbconv_kernel, h=h, nh=nh, w=wid,
+        _mbconv_kernel, h=h, nh=nh, w=wid, wp=wp,
         compute_bf16=(compute == "bf16" and x.dtype == jnp.bfloat16),
     )
     out = pl.pallas_call(
         kernel,
         grid=(b, nh),
         in_specs=[
-            pl.BlockSpec((1, h, wp, c), lambda bi, i, _h=h: (bi, i, 0, 0)),
-            pl.BlockSpec((1, 1, wp, c), lambda bi, i, _h=h: (bi, i * _h, 0, 0)),
-            pl.BlockSpec((1, 1, wp, c), lambda bi, i, _h=h: (bi, i * _h + _h + 1, 0, 0)),
+            pl.BlockSpec((1, h, wid, c), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, wid, c),
+                lambda bi, i, _h=h: (bi, jnp.maximum(i * _h - 1, 0), 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, wid, c),
+                lambda bi, i, _h=h, _hi=hgt - 1: (
+                    bi, jnp.minimum(i * _h + _h, _hi), 0, 0,
+                ),
+            ),
             pl.BlockSpec((c, e), lambda bi, i: (0, 0)),
             pl.BlockSpec((1, e), lambda bi, i: (0, 0)),
             pl.BlockSpec((3, 3, e), lambda bi, i: (0, 0, 0)),
@@ -177,10 +194,9 @@ def mbconv_block(
         ),
         interpret=interpret,
     )(
-        # center strips exclude the padded top row: slice rows [1, 1+H)
-        jax.lax.slice(xp, (0, 1, 0, 0), (b, 1 + hgt, wp, c)),
-        xp,
-        xp,
+        x,
+        x,
+        x,
         w1.astype(x.dtype),
         b1.reshape(1, e).astype(jnp.float32),
         wd.reshape(3, 3, e).astype(jnp.float32),

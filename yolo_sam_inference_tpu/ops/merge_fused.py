@@ -60,14 +60,20 @@ def space_to_depth_q(x: jnp.ndarray) -> jnp.ndarray:
 def _merge_kernel(
     xc_ref, xt_ref, w1_ref, b1_ref, wd_ref, bd_ref, w3_ref, b3_ref,
     o_ref,
-    *, h2: int, w2: int, e: int, compute_bf16: bool,
+    *, h2: int, w2: int, wp2: int, e: int, compute_bf16: bool,
 ):
-    wp2 = xc_ref.shape[2]  # quarter-res W padded +1 left, 8-aligned right
     cdt = xc_ref.dtype if compute_bf16 else jnp.float32
+    ci4 = xc_ref.shape[3]
 
-    xc = xc_ref[0]  # (h2, Wp2, 4ci) center strip (quarter-res rows)
-    xt = xt_ref[0]  # (1, Wp2, 4ci) quarter-row above
-    ext = jnp.concatenate([xt, xc], axis=0)  # (h2+1, Wp2, 4ci)
+    xc = xc_ref[0]  # (h2, W2, 4ci) center strip (quarter-res rows)
+    xt = xt_ref[0]  # (1, W2, 4ci) quarter-row above (clamped dup on strip 0)
+    ext = jnp.concatenate([xt, xc], axis=0)  # (h2+1, W2, 4ci)
+    # width pad in-kernel: +1 column left (stride-2 'same' reads only a
+    # top/left halo), zeros right to the sublane multiple; padded positions
+    # (and strip 0's clamped duplicate halo row) are re-masked after conv1
+    zl = jnp.zeros((h2 + 1, 1, ci4), ext.dtype)
+    zr = jnp.zeros((h2 + 1, wp2 - w2 - 1, ci4), ext.dtype)
+    ext = jnp.concatenate([zl, ext, zr], axis=1)  # (h2+1, Wp2, 4ci)
 
     flat = ext.reshape((h2 + 1) * wp2, ext.shape[-1])
     h1 = (
@@ -141,9 +147,6 @@ def patch_merge_block(
 
     xq = space_to_depth_q(x)  # (B, H/2, W/2, 4ci)
     wp2 = (w2 + 1 + 7) // 8 * 8
-    # +1 zero row top / col left (the only halo stride-2 'same' reads);
-    # right pad to the sublane multiple is masked after conv1
-    xp = jnp.pad(xq, ((0, 0), (1, 0), (1, wp2 - w2 - 1), (0, 0)))
 
     # strip height (quarter-res rows): divisor of H/2, VMEM-bounded
     h2 = 1
@@ -160,15 +163,18 @@ def patch_merge_block(
     b1_bd = jnp.tile(b1.reshape(1, e), (1, 4))
 
     kernel = functools.partial(
-        _merge_kernel, h2=h2, w2=w2, e=e,
+        _merge_kernel, h2=h2, w2=w2, wp2=wp2, e=e,
         compute_bf16=(compute == "bf16" and x.dtype == jnp.bfloat16),
     )
     out = pl.pallas_call(
         kernel,
         grid=(b, nh),
         in_specs=[
-            pl.BlockSpec((1, h2, wp2, 4 * ci), lambda bi, i: (bi, i, 0, 0)),
-            pl.BlockSpec((1, 1, wp2, 4 * ci), lambda bi, i, _h=h2: (bi, i * _h, 0, 0)),
+            pl.BlockSpec((1, h2, w2, 4 * ci), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, w2, 4 * ci),
+                lambda bi, i, _h=h2: (bi, jnp.maximum(i * _h - 1, 0), 0, 0),
+            ),
             pl.BlockSpec((4 * ci, 4 * e), lambda bi, i: (0, 0)),
             pl.BlockSpec((1, 4 * e), lambda bi, i: (0, 0)),
             pl.BlockSpec((3, 3, e), lambda bi, i: (0, 0, 0)),
@@ -183,9 +189,8 @@ def patch_merge_block(
         ),
         interpret=interpret,
     )(
-        # center strips exclude the padded top halo row: rows [1, 1+H/2)
-        jax.lax.slice(xp, (0, 1, 0, 0), (b, 1 + h2all, wp2, 4 * ci)),
-        xp,
+        xq,
+        xq,
         w1_bd.astype(x.dtype),
         b1_bd.astype(jnp.float32),
         wd.reshape(3, 3, e).astype(jnp.float32),
