@@ -140,3 +140,32 @@ def test_encoder_restructure_preserves_output():
     # golden statistics guard: any restructure slip shifts these
     arr = np.asarray(emb, np.float64)
     assert arr.std() > 0
+
+
+def test_erf_rational_accuracy():
+    """The kernels' default erf (odd rational, exp-free) must stay within
+    3.4e-5 of the exact erf over the clip range and saturate beyond it,
+    and the resulting GELU within 1e-4 absolute — the bound the widened
+    fused-vs-plain test tolerances (atol 3e-4) are derived from."""
+    import math
+
+    from yolo_sam_inference_tpu.ops import fused_ln
+
+    x = np.linspace(-12.0, 12.0, 100001, dtype=np.float32)
+    exact = np.array([math.erf(float(v)) for v in x])
+
+    saved = fused_ln._USE_AS_ERF
+    try:
+        fused_ln._USE_AS_ERF = False
+        rat = np.asarray(fused_ln._erf_as(jnp.asarray(x)))
+        fused_ln._USE_AS_ERF = True
+        asym = np.asarray(fused_ln._erf_as(jnp.asarray(x)))
+    finally:
+        fused_ln._USE_AS_ERF = saved
+
+    assert np.abs(rat - exact).max() <= 3.4e-5
+    # A-S 7.1.26 is 1.5e-7 in exact arithmetic; fp32 evaluation lands ~2.5e-6
+    assert np.abs(asym - exact).max() <= 5.0e-6
+    # gelu(x) = x/2 (1 + erf(x/sqrt2)): feed w = x/sqrt2 like the callers do
+    gelu_err = np.abs(x * np.sqrt(2) * 0.5 * (rat - exact))
+    assert gelu_err.max() <= 1.0e-4

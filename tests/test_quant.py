@@ -162,15 +162,17 @@ def _oracle_int8_tail(x, attn, scale, bias, w1q, w1s, b1, w2q, w2s, b2,
     hidden = w1q.shape[-1]
     ch = hidden // chunks
     out = jnp.broadcast_to(b2.astype(jnp.float32), (m.shape[0], w2q.shape[-1]))
-    from scipy.special import erf
+    from yolo_sam_inference_tpu.ops.fused_ln import _erf_as
     for i in range(chunks):
         sl = slice(i * ch, (i + 1) * ch)
         acc = jax.lax.dot_general(xq, w1q[:, sl], (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         h = acc.astype(jnp.float32) * (xs * w1s[None, sl]) + b1[None, sl]
-        # the kernel's Abramowitz-Stegun erf (|err|<=1.5e-7) vs scipy's:
-        # inside the comparison tolerance
-        h = h * 0.5 * (1.0 + jnp.asarray(erf(np.asarray(h) * 2.0 ** -0.5)))
+        # the kernel's own erf (rational by default, A-S under SAM_ERF_AS=1):
+        # gelu output is requantized to int8 right after, so even a 3e-5 erf
+        # difference vs an exact oracle would flip rounding buckets — the
+        # approximation itself is bounded by test_erf_rational_accuracy
+        h = h * 0.5 * (1.0 + _erf_as(h * 2.0 ** -0.5))
         hq, hs = quant_rows(h)
         acc2 = jax.lax.dot_general(hq, w2q[sl, :], (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.int32)

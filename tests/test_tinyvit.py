@@ -71,7 +71,7 @@ def test_fused_block_matches_plain():
         plain = _tinyvit_block(p, x, heads, ws, cfg)
         fused = _tinyvit_block(p, x, heads, ws, cfg, fused=True, interpret=True)
         np.testing.assert_allclose(
-            np.asarray(fused), np.asarray(plain), atol=3e-5, rtol=1e-4,
+            np.asarray(fused), np.asarray(plain), atol=3e-4, rtol=1e-4,
             err_msg=f"stage {si} (c={c}, heads={heads}, ws={ws})",
         )
 
@@ -140,8 +140,43 @@ def test_fused_mbconv_matches_plain():
     x = jnp.asarray(rng.normal(size=(2, 16, 16, cfg.embed_dims[0])), jnp.float32)
     plain = _mbconv(p, x)
     fused = _mbconv(p, x, fused=True, interpret=True)
+    # atol 3e-4: the kernel's rational erf-GELU differs from the exact-erf
+    # plain path by <=9.3e-5/element (bounded by test_erf_rational_accuracy);
+    # plumbing bugs produce >=1e-2 errors and are still caught
     np.testing.assert_allclose(
-        np.asarray(fused), np.asarray(plain), atol=3e-5, rtol=1e-4
+        np.asarray(fused), np.asarray(plain), atol=3e-4, rtol=1e-4
+    )
+
+
+def test_fused_stride1_merge_matches_plain():
+    """The residual-free MBConv kernel (residual=False) must reproduce the
+    stride-1 PatchMerging: conv3(gelu(dw3x3_s1(gelu(conv1(x))))) with
+    co != ci, no residual, no outer activation — merge2's path at S/16."""
+    from yolo_sam_inference_tpu.models.sam.tinyvit import (
+        _conv_bn,
+        _gelu,
+    )
+    from yolo_sam_inference_tpu.ops.mbconv_fused import mbconv_block
+
+    rng = np.random.default_rng(22)
+    ci, co = 160, 320
+    e = 4 * ci
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, ci)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(0, 0.1, (ci, e)), jnp.float32)
+    b1 = jnp.asarray(rng.normal(0, 0.3, (e,)), jnp.float32)
+    wd = jnp.asarray(rng.normal(0, 0.2, (3, 3, 1, e)), jnp.float32)
+    bd = jnp.asarray(rng.normal(0, 0.3, (e,)), jnp.float32)
+    w3 = jnp.asarray(rng.normal(0, 0.1, (e, co)), jnp.float32)
+    b3 = jnp.asarray(rng.normal(0, 0.3, (co,)), jnp.float32)
+
+    h = _gelu(_conv_bn({"w": w1.reshape(1, 1, ci, e), "b": b1}, x))
+    h = _gelu(_conv_bn({"w": wd, "b": bd}, h, groups=e))
+    plain = _conv_bn({"w": w3.reshape(1, 1, e, co), "b": b3}, h)
+    fused = mbconv_block(
+        x, w1, b1, wd, bd, w3, b3, interpret=True, residual=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(plain), atol=3e-4, rtol=1e-4
     )
 
 
@@ -177,7 +212,7 @@ def test_dw_ln_mlp_matches_plain():
         eps=1e-5, interpret=True,
     )
     np.testing.assert_allclose(
-        np.asarray(fused), np.asarray(plain), atol=3e-5, rtol=1e-4
+        np.asarray(fused), np.asarray(plain), atol=3e-4, rtol=1e-4
     )
 
 
@@ -208,7 +243,7 @@ def test_fused_patch_merge_matches_plain():
     )
     assert fused.shape == (2, 16, 16, cfg.embed_dims[1])
     np.testing.assert_allclose(
-        np.asarray(fused), np.asarray(plain), atol=3e-5, rtol=1e-4
+        np.asarray(fused), np.asarray(plain), atol=3e-4, rtol=1e-4
     )
 
 

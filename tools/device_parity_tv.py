@@ -12,7 +12,10 @@ Usage:  timeout 900 python tools/device_parity_tv.py
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -80,6 +83,23 @@ def main() -> int:
         fused = patch_merge_block(x, w1, b1, wd, bd, w3, b3)
         _sync(fused)
         ok &= _check(f"merge {h}x{w} {ci}->{co}", fused, plain, 3e-4, 3e-3)
+
+    # stride-1 merge (residual-free MBConv kernel): merge2 at the 512 canvas
+    for b, h, w, ci, co in [(2, 32, 32, 160, 320)]:
+        e = 4 * ci
+        x = jnp.asarray(rng.normal(size=(b, h, w, ci)), jnp.float32)
+        w1 = jnp.asarray(rng.normal(0, 0.1, (ci, e)), jnp.float32)
+        b1 = jnp.asarray(rng.normal(0, 0.3, (e,)), jnp.float32)
+        wd = jnp.asarray(rng.normal(0, 0.2, (3, 3, 1, e)), jnp.float32)
+        bd = jnp.asarray(rng.normal(0, 0.3, (e,)), jnp.float32)
+        w3 = jnp.asarray(rng.normal(0, 0.1, (e, co)), jnp.float32)
+        b3 = jnp.asarray(rng.normal(0, 0.3, (co,)), jnp.float32)
+        h1 = _gelu(_conv_bn({"w": w1.reshape(1, 1, ci, e), "b": b1}, x))
+        h2 = _gelu(_conv_bn({"w": wd, "b": bd}, h1, groups=e))
+        plain = _conv_bn({"w": w3.reshape(1, 1, e, co), "b": b3}, h2)
+        fused = mbconv_block(x, w1, b1, wd, bd, w3, b3, residual=False)
+        _sync(fused)
+        ok &= _check(f"merge_s1 {h}x{w} {ci}->{co}", fused, plain, 3e-4, 3e-3)
 
     # dw+LN+MLP block tail: the three stage geometries at the 512 canvas
     for b, h, w, c in [(2, 64, 64, 128), (2, 32, 32, 160), (2, 32, 32, 320)]:

@@ -68,6 +68,68 @@ def main():
                 print(f"block_rows={br}: {ms:.3f} ms  (SOL ~0.96)")
             except Exception as e:
                 print(f"block_rows={br}: FAIL {str(e)[:80]}")
+    elif which == "mbconv":
+        # What bounds the fused MBConv kernel (30 ms of the 193 ms MobileSAM
+        # B=128 iteration for stage 0's two blocks)? Time the real kernel,
+        # then a gelu->identity build (upper bound on any GELU rework) and a
+        # rational-erf build (P3/Q3, no exp) at the same geometry.
+        import yolo_sam_inference_tpu.ops.mbconv_fused as mb
+
+        bsz, hw, c = 128, 128, 64
+        e = 4 * c
+        x = jnp.asarray(rng.normal(size=(bsz, hw, hw, c)), jnp.bfloat16)
+        w1 = jnp.asarray(rng.normal(0, 0.1, (c, e)), jnp.float32)
+        b1 = jnp.zeros((e,), jnp.float32)
+        wd = jnp.asarray(rng.normal(0, 0.2, (3, 3, 1, e)), jnp.float32)
+        bd = jnp.zeros((e,), jnp.float32)
+        w3 = jnp.asarray(rng.normal(0, 0.1, (e, c)), jnp.float32)
+        b3 = jnp.zeros((c,), jnp.float32)
+
+        real_gelu = mb._gelu_f32
+
+        def as_gelu(v):
+            # the SAM_ERF_AS=1 fallback path (exp-based Abramowitz-Stegun)
+            xf = v * (2.0 ** -0.5)
+            sign = jnp.sign(xf)
+            ax = jnp.abs(xf)
+            t = 1.0 / (1.0 + 0.3275911 * ax)
+            poly = t * (0.254829592 + t * (-0.284496736 + t * (
+                1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+            erf = sign * (1.0 - poly * jnp.exp(-ax * ax))
+            return v * 0.5 * (1.0 + erf)
+
+        def recip_gelu(v):
+            # rational erf with pl.reciprocal(approx)+1 Newton step for 1/Q
+            from jax.experimental import pallas as pl2
+
+            w = v * (2.0 ** -0.5)
+            uu = w * w
+            p = (7.9773798e-01 + uu * (1.3141873e-01
+                 + uu * (2.8835702e-02 + uu * 3.9488860e-04)))
+            q = (1.0 + uu * (4.9692304e-01
+                 + uu * (1.0365437e-01 + uu * 7.7713679e-03)))
+            r = pl2.reciprocal(q, approx=True)
+            r = r * (2.0 - q * r)
+            t = jnp.clip(v * (p * r), -1.0, 1.0)
+            return v * 0.5 * (1.0 + t)
+
+        variants = [
+            ("shipped default (rational erf)", real_gelu),
+            ("erf A-S (exp-based)", as_gelu),
+            ("rational + fast recip", recip_gelu),
+            ("identity (no gelu)", lambda v: v),
+        ]
+        for name, fn in variants:
+            mb._gelu_f32 = fn
+            mb.mbconv_block.clear_cache()
+
+            def step(v):
+                return mb.mbconv_block(v, w1, b1, wd, bd, w3, b3)
+
+            ms = timeit_chained(step, x, inner=10, outer=4)
+            per_iter = ms * 2  # two stage-0 blocks per model iteration
+            print(f"{name}: {ms:.3f} ms/block  (~{per_iter:.1f} ms per 2-block iter)")
+        mb._gelu_f32 = real_gelu
     elif which == "flash":
         from yolo_sam_inference_tpu.ops.flash_attention import flash_attention_grid
 

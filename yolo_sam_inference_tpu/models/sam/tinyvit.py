@@ -38,6 +38,10 @@ Params = Dict[str, Any]
 # device A/B knob for the fused stride-2 merge size gate (read at import;
 # the traced program is shape-static so a per-process setting is exact)
 _FUSED_MERGE_MIN_H = int(os.environ.get("TINYVIT_FUSED_MERGE_MIN_H", "128"))
+# stride-1 merge (merge2 at S/16) through the residual-free MBConv kernel:
+# its 4x-expanded 640-channel depthwise otherwise hits the XLA grouped-conv
+# emitter. Kill switch for device A/B.
+_FUSED_MERGE_S1 = os.environ.get("TINYVIT_FUSED_MERGE_S1", "1") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,6 +126,19 @@ def _patch_merge(
             p["conv3"]["w"][0, 0], p["conv3"]["b"],
             interpret=interpret,
             compute=compute,
+        )
+    if fused and stride == 1 and _FUSED_MERGE_S1 and x.shape[2] % 8 == 0:
+        # stride-1 PatchMerging == MBConv minus the residual + outer GELU
+        from ...ops.mbconv_fused import mbconv_block
+
+        return mbconv_block(
+            x,
+            p["conv1"]["w"][0, 0], p["conv1"]["b"],
+            p["conv2"]["w"], p["conv2"]["b"],
+            p["conv3"]["w"][0, 0], p["conv3"]["b"],
+            interpret=interpret,
+            compute=compute,
+            residual=False,
         )
     h = _gelu(_conv_bn(p["conv1"], x))
     h = _gelu(_conv_bn(p["conv2"], h, stride=stride, groups=h.shape[-1]))

@@ -16,6 +16,7 @@ covers kernel parity).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -89,24 +90,62 @@ def fused_add_ln(x, res, scale, bias, eps: float = 1e-6, interpret: bool = False
     return y.reshape(orig_shape), ln.reshape(orig_shape)
 
 
-def _erf_as(x):
-    """Abramowitz-Stegun 7.1.26 erf approximation (|err| <= 1.5e-7).
+# SAM_ERF_AS=1 restores the Abramowitz-Stegun erf (exp-based, |err|<=1.5e-7)
+# in every GELU-carrying kernel; default is the exp-free rational below.
+_USE_AS_ERF = os.environ.get("SAM_ERF_AS", "0") == "1"
+# SAM_ERF_RECIP=0 disables the approx-reciprocal P/Q divide inside kernels
+# (falls back to the exact fp32 divide); device A/B kill switch.
+_USE_FAST_RECIP = os.environ.get("SAM_ERF_RECIP", "1") == "1"
+
+
+def _erf_as(x, fast_recip: bool = False):
+    """erf approximation for the kernel GELUs, fp32-evaluated.
+
+    Default: odd rational  erf(x) ~ clip(y * P3(y^2) / Q3(y^2), -1, 1)
+    with y = x (callers pass x/sqrt2), minimax-fitted on |y| <= 6 with
+    all-positive coefficients (stable fp32 Horner, saturating tail).
+    Max |erf err| 3.4e-5 => max abs GELU err ~9.3e-5 — two orders below
+    bf16 activation rounding, so invisible in the production bf16 path;
+    fused-vs-plain CPU tests bound it at fp32. Unlike Abramowitz-Stegun
+    7.1.26 (SAM_ERF_AS=1 fallback, |err| <= 1.5e-7) it needs no exp and
+    no reciprocal-of-affine — 7 FMAs + 1 divide + clamp — which matters
+    because the GELU stretch is the VPU bottleneck of the conv/MLP
+    kernels (ops/mbconv_fused.py, _mlp_rows below).
 
     Always evaluated in fp32 (result cast back to the input dtype): the
-    polynomial is useless at bf16 precision, and Mosaic cannot lower the
-    packed-bf16 vector compare ``jnp.sign`` needs on v5e ("Target does not
-    support this comparison"), so a bf16-compute caller (BENCH_TV_BF16)
-    would fail to compile.
+    polynomials are useless at bf16 precision, and Mosaic cannot lower
+    packed-bf16 vector compares on v5e ("Target does not support this
+    comparison"), so a bf16-compute caller (BENCH_TV_BF16) would fail to
+    compile.
     """
     xf = x.astype(jnp.float32)
-    sign = jnp.sign(xf)
-    ax = jnp.abs(xf)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (
-        0.254829592
-        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
-    )
-    return (sign * (1.0 - poly * jnp.exp(-ax * ax))).astype(x.dtype)
+    if _USE_AS_ERF:
+        sign = jnp.sign(xf)
+        ax = jnp.abs(xf)
+        t = 1.0 / (1.0 + 0.3275911 * ax)
+        poly = t * (
+            0.254829592
+            + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+        )
+        return (sign * (1.0 - poly * jnp.exp(-ax * ax))).astype(x.dtype)
+    u = xf * xf
+    # note: fitted for erf(x/sqrt2) in x; callers pass x/sqrt2, so fold the
+    # 1/sqrt2 scaling into the u/x coefficients: erf(y) with y = x/sqrt2
+    # => u' = 2*u, y*c = xf*c/sqrt2 — coefficients below are pre-folded
+    p = 7.9773798e-01 + u * (1.3141873e-01 + u * (2.8835702e-02 + u * 3.9488860e-04))
+    q = 1.0 + u * (4.9692304e-01 + u * (1.0365437e-01 + u * 7.7713679e-03))
+    if fast_recip and _USE_FAST_RECIP:
+        # Pallas-kernel-only path (pl.reciprocal has no out-of-kernel eval
+        # rule): VPU approx reciprocal + one Newton step instead of the
+        # exact divide. err(recip) ~2^-12 squared by Newton => ~1e-6 rel on
+        # P/Q, invisible under the 3.4e-5 fit error. Kernel-isolated
+        # microbench: 15.05 -> 12.57 ms per stage-0 MBConv block
+        # (tools/micro_ln_mlp.py mbconv).
+        r = pl.reciprocal(q, approx=True)
+        ratio = p * (r * (2.0 - q * r))
+    else:
+        ratio = p / q
+    return jnp.clip(xf * 1.4142135623730951 * ratio, -1.0, 1.0).astype(x.dtype)
 
 
 def _mlp_rows(ln, w1_ref, b1_ref, w2_ref, b2_ref, act_dtype):
@@ -114,7 +153,7 @@ def _mlp_rows(ln, w1_ref, b1_ref, w2_ref, b2_ref, act_dtype):
     VMEM-resident. Split along the hidden dim so the gelu (VPU) of one
     chunk can overlap the next chunk's matmuls (MXU) in Mosaic's schedule
     — the three ops are otherwise a serial dependency chain. erf-GELU via
-    Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7, matching torch.nn.GELU;
+    the shared kernel erf above (_erf_as: rational + fast recip by default;
     Pallas TPU has no erf primitive). fp32 throughout: a bf16 polynomial
     measured ~5% relative error. Shared by the resident block-tail kernel
     below and the TinyViT dw+LN+MLP kernel (ops/dw_ln_mlp.py)."""
@@ -131,7 +170,7 @@ def _mlp_rows(ln, w1_ref, b1_ref, w2_ref, b2_ref, act_dtype):
             )
             + b1_ref[:, i * ch : (i + 1) * ch]
         )
-        h = h * 0.5 * (1.0 + _erf_as(h * (2.0 ** -0.5)))
+        h = h * 0.5 * (1.0 + _erf_as(h * (2.0 ** -0.5), fast_recip=True))
         h = h.astype(act_dtype)
         out = out + jax.lax.dot_general(
             h, w2_ref[i * ch : (i + 1) * ch, :],
@@ -246,7 +285,7 @@ def _ln_mlp_tiled_kernel(
         )
         + b1_ref[...]
     )
-    h = h * 0.5 * (1.0 + _erf_as(h * (2.0 ** -0.5)))
+    h = h * 0.5 * (1.0 + _erf_as(h * (2.0 ** -0.5), fast_recip=True))
     h = h.astype(y_ref.dtype)
     acc_ref[...] += jax.lax.dot_general(
         h, w2_ref[...],
@@ -370,7 +409,7 @@ def _int8_mlp_rows(ln, w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref, b2_ref):
             preferred_element_type=jnp.int32,
         )
         h = acc.astype(jnp.float32) * (xs * w1s_ref[:, sl]) + b1_ref[:, sl]
-        h = h * 0.5 * (1.0 + _erf_as(h * (2.0 ** -0.5)))
+        h = h * 0.5 * (1.0 + _erf_as(h * (2.0 ** -0.5), fast_recip=True))
         hq, hs = _quant_rows(h)
         acc2 = jax.lax.dot_general(
             hq, w2q_ref[sl, :],
@@ -490,7 +529,7 @@ def _ln_mlp_tiled_int8_kernel(
         preferred_element_type=jnp.int32,
     )
     h = acc1.astype(jnp.float32) * (xs * w1s_ref[...]) + b1_ref[...]
-    h = h * 0.5 * (1.0 + _erf_as(h * (2.0 ** -0.5)))
+    h = h * 0.5 * (1.0 + _erf_as(h * (2.0 ** -0.5), fast_recip=True))
     hq, hs = _quant_rows(h)
     acc2 = jax.lax.dot_general(
         hq, w2q_ref[...],

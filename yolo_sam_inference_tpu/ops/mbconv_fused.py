@@ -53,17 +53,18 @@ from .fused_ln import _erf_as
 
 
 def _gelu_f32(x):
-    """erf-GELU via the shared Abramowitz-Stegun polynomial (fused_ln)."""
-    return x * 0.5 * (1.0 + _erf_as(x * (2.0 ** -0.5)))
+    """erf-GELU via the shared kernel erf (fused_ln; rational + fast recip)."""
+    return x * 0.5 * (1.0 + _erf_as(x * (2.0 ** -0.5), fast_recip=True))
 
 
 def _mbconv_kernel(
     xc_ref, xt_ref, xb_ref, w1_ref, b1_ref, wd_ref, bd_ref, w3_ref, b3_ref,
     o_ref,
-    *, h: int, nh: int, w: int, wp: int, compute_bf16: bool,
+    *, h: int, nh: int, w: int, wp: int, compute_bf16: bool, residual: bool,
 ):
     c = xc_ref.shape[3]
     e = w1_ref.shape[1]
+    co = w3_ref.shape[1]
     # compute_bf16: run the VPU-bound stretch (GELUs + the 9-tap depthwise
     # FMA chain) in the activation dtype instead of fp32 — packed-bf16 VPU
     # issue is 2x the fp32 rate. Opt-in; error bound tested in
@@ -120,13 +121,16 @@ def _mbconv_kernel(
         )
         + b3_ref[...]
     )
-    res = xc.reshape(h * w, c).astype(jnp.float32)
-    o_ref[0] = (
-        _gelu_f32((res + out).astype(cdt)).astype(xc.dtype).reshape(h, w, c)
-    )
+    if residual:
+        # MBConv tail: gelu(x + conv3(...)) — requires co == c
+        res = xc.reshape(h * w, c).astype(jnp.float32)
+        out = _gelu_f32((res + out).astype(cdt))
+    o_ref[0] = out.astype(xc.dtype).reshape(h, w, co)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "compute"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "compute", "residual")
+)
 def mbconv_block(
     x: jnp.ndarray,
     w1: jnp.ndarray, b1: jnp.ndarray,
@@ -134,17 +138,26 @@ def mbconv_block(
     w3: jnp.ndarray, b3: jnp.ndarray,
     interpret: bool = False,
     compute: str = "fp32",
+    residual: bool = True,
 ) -> jnp.ndarray:
     """x (B, H, W, C) -> gelu(x + conv3(gelu(dw3x3(gelu(conv1(x)))))).
 
-    w1 (C, E) 1x1 expand, wd (3, 3, 1, E) depthwise HWIO, w3 (E, C) 1x1
+    w1 (C, E) 1x1 expand, wd (3, 3, 1, E) depthwise HWIO, w3 (E, Co) 1x1
     project; all biases pre-folded BN. W must be a multiple of 8
     (sublane-aligned flatten) — TinyViT stage 0 runs at S/4 = 128/256.
     compute="bf16" runs the VPU-bound GELU/depthwise stretch in the
     activation dtype (opt-in 2x VPU-rate path; matmuls stay fp32-accum).
+    residual=False drops the residual add and the outer GELU (and allows
+    Co != C):  x -> conv3(gelu(dw3x3(gelu(conv1(x))))) — exactly TinyViT's
+    stride-1 PatchMerging (merge2 at S/16, tiny_vit_sam.py PatchMerging
+    with stride 1), whose 640-channel depthwise otherwise hits the XLA
+    grouped-conv emitter.
     """
     b, hgt, wid, c = x.shape
     e = w1.shape[1]
+    co = w3.shape[1]
+    if residual and co != c:
+        raise ValueError("residual MBConv requires w3 Co == C")
     from . import mosaic_backend
 
     interpret = interpret or not mosaic_backend()
@@ -164,6 +177,7 @@ def mbconv_block(
     kernel = functools.partial(
         _mbconv_kernel, h=h, nh=nh, w=wid, wp=wp,
         compute_bf16=(compute == "bf16" and x.dtype == jnp.bfloat16),
+        residual=residual,
     )
     out = pl.pallas_call(
         kernel,
@@ -184,11 +198,11 @@ def mbconv_block(
             pl.BlockSpec((1, e), lambda bi, i: (0, 0)),
             pl.BlockSpec((3, 3, e), lambda bi, i: (0, 0, 0)),
             pl.BlockSpec((1, e), lambda bi, i: (0, 0)),
-            pl.BlockSpec((e, c), lambda bi, i: (0, 0)),
-            pl.BlockSpec((1, c), lambda bi, i: (0, 0)),
+            pl.BlockSpec((e, co), lambda bi, i: (0, 0)),
+            pl.BlockSpec((1, co), lambda bi, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, wid, c), lambda bi, i: (bi, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hgt, wid, c), x.dtype),
+        out_specs=pl.BlockSpec((1, h, wid, co), lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hgt, wid, co), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -202,6 +216,6 @@ def mbconv_block(
         wd.reshape(3, 3, e).astype(jnp.float32),
         bd.reshape(1, e).astype(jnp.float32),
         w3.astype(x.dtype),
-        b3.reshape(1, c).astype(jnp.float32),
+        b3.reshape(1, co).astype(jnp.float32),
     )
     return out
