@@ -16,14 +16,22 @@ import sys
 
 
 def load_hlo_map(hlo_path: str):
-    """op name -> 'file:line (op_name)' from HLO metadata."""
+    """(op name -> 'file:line (op_name)', op name -> 'dtype[shape]{layout}')
+    from HLO metadata. The second map covers ops WITHOUT source metadata
+    (XLA-inserted copies/relayouts): their result shape + layout is the only
+    handle for identifying which tensor is being re-laid-out."""
     pat = re.compile(
         r"%([\w.\-]+) = .*?metadata=\{op_name=\"([^\"]*)\""
         r"(?:.*?source_file=\"([^\"]*)\")?(?:.*? source_line=(\d+))?"
     )
+    shape_pat = re.compile(r"%([\w.\-]+) = ((?:\(|[a-z0-9]+\[)[^ ]*)")
     out = {}
+    shapes = {}
     with open(hlo_path) as f:
         for line in f:
+            sm = shape_pat.search(line)
+            if sm:
+                shapes[sm.group(1)] = sm.group(2)
             m = pat.search(line)
             if not m:
                 continue
@@ -33,11 +41,11 @@ def load_hlo_map(hlo_path: str):
                 out[name] = f"{short}:{sl}"
             else:
                 out[name] = f"(no-src) {op.split('/')[-1]}"
-    return out
+    return out, shapes
 
 
 def main(tracedir: str, hlo_path: str, top: int = 45) -> None:
-    srcmap = load_hlo_map(hlo_path)
+    srcmap, shapes = load_hlo_map(hlo_path)
     paths = glob.glob(f"{tracedir}/**/*.trace.json.gz", recursive=True)
     with gzip.open(sorted(paths)[-1], "rt") as f:
         trace = json.load(f)
@@ -60,6 +68,10 @@ def main(tracedir: str, hlo_path: str, top: int = 45) -> None:
         total += e["dur"]
         if name in srcmap:
             by_src[srcmap[name]] += e["dur"]
+        elif name in shapes:
+            # no source metadata (XLA-inserted relayout/copy): bucket by
+            # op kind + result shape/layout so the tensor is identifiable
+            unattributed[f"{name.split('.')[0]} {shapes[name]}"] += e["dur"]
         else:
             unattributed[name.split(".")[0]] += e["dur"]
     print(f"total device-op time: {total/1e3/3:.2f} ms/iter (3 iters)")
