@@ -1,0 +1,161 @@
+"""Parity tests for the fused dense-conv pass (ops/conv2d_fused.py).
+
+The Pallas interpreter runs the exact TPU kernel wiring off-device; parity
+is against lax.conv_general_dilated with the pipeline's two padding
+geometries (k=3 'same'; k=2 pad (1,0) — the s2d native-out downsample).
+The GELU tolerance is the documented rational-erf bound (|gelu err| <=
+~1e-4 fp32, see ops/fused_ln.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_sam_inference_tpu.ops import conv2d_fused
+from yolo_sam_inference_tpu.ops.conv2d_fused import conv2d_act, conv2d_supported
+
+
+def _ref(x, w, b, k, stride, act):
+    pad = {3: ((1, 1), (1, 1)), 2: ((1, 0), (1, 0)), 1: ((0, 0), (0, 0))}[k]
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32), (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    elif act == "gelu":
+        y = jax.nn.gelu(y, approximate=False)
+    return y
+
+
+CASES = [
+    # (B, H, W, Ci, Co, k, stride, act) — one per pipeline geometry class
+    (2, 16, 16, 12, 24, 3, 2, "gelu"),    # small-Ci full-im2row stride 2 (stems)
+    (2, 16, 16, 12, 24, 3, 1, "silu"),    # small-Ci stride 1
+    (2, 8, 16, 130, 64, 3, 1, "none"),    # per-dh accumulate, non-multiple Ci
+    (2, 16, 16, 64, 48, 3, 2, "silu"),    # per-dh stride 2 (YOLO s2d downsample)
+    (1, 8, 16, 40, 16, 2, 1, "silu"),     # k=2 pad (1,0) (s2d native-out)
+    (3, 24, 32, 20, 8, 3, 1, "gelu"),     # H with non-power-of-two strip divisors
+    (2, 8, 8, 16, 8, 1, 1, "silu"),       # 1x1 dot path
+    (1, 64, 32, 12, 64, 3, 2, "none"),    # rectangular H != W
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=[f"k{k}s{s}ci{ci}{a}" for (_, _, _, ci, _, k, s, a) in CASES])
+def test_conv2d_act_parity(case):
+    b, h, w_, ci, co, k, s, act = case
+    rng = np.random.default_rng(hash(case) & 0xFFFF)
+    x = jnp.asarray(rng.normal(size=(b, h, w_, ci)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(k, k, ci, co)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(co,)), jnp.float32)
+    assert conv2d_supported(x.shape, k, s)
+    got = conv2d_act(x, w, bias, k=k, stride=s, act=act, interpret=True)
+    want = _ref(x, w, bias, k, s, act)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), atol=3e-4, rtol=1e-3
+    )
+
+
+def test_conv2d_act_bf16():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 64)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(3, 3, 64, 32)) * 0.1, jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+    got = conv2d_act(x, w, bias, k=3, stride=2, act="silu", interpret=True)
+    want = _ref(x, w, bias, 3, 2, "silu")
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), atol=0.1, rtol=0.05
+    )
+
+
+def test_conv2d_supported_gates():
+    assert not conv2d_supported((1, 8, 12, 16), 3, 1)   # W % 16 != 0
+    assert not conv2d_supported((1, 8, 8, 16), 3, 2)    # W % 16 != 0 for s=2
+    assert not conv2d_supported((1, 7, 16, 16), 3, 2)   # odd H for s=2
+    assert not conv2d_supported((1, 8, 16, 16), 2, 2)   # k=2 only at s=1
+    assert not conv2d_supported((1, 8, 16, 15), 3, 1)   # odd Ci (lane roll)
+    assert conv2d_supported((1, 8, 16, 16), 1, 1)
+    with pytest.raises(ValueError):
+        conv2d_act(
+            jnp.zeros((1, 8, 12, 16)), jnp.zeros((3, 3, 16, 8)), jnp.zeros((8,)),
+            k=3, stride=1, interpret=True,
+        )
+
+
+def _force_fused(monkeypatch):
+    """CPU runs gate the fused path off; force it through the interpreter."""
+    monkeypatch.setattr(conv2d_fused, "conv2d_fused_enabled", lambda: True)
+
+
+def test_yolo_forward_wiring(monkeypatch):
+    """Full YOLO graph (native + s2d prefix) with every conv on the fused
+    path == the XLA-conv graph."""
+    _force_fused(monkeypatch)
+    from yolo_sam_inference_tpu.models.yolo.config import YoloConfig
+    from yolo_sam_inference_tpu.models.yolo.model import init_yolo_params, yolo_forward
+    from yolo_sam_inference_tpu.models.yolo.s2d import transform_backbone_params
+
+    cfg = YoloConfig()
+    params = init_yolo_params(0, cfg)
+    s2d = transform_backbone_params(params)
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+
+    got_native = yolo_forward(params, img, cfg)
+    got_s2d = yolo_forward(params, img, cfg, s2d_params=s2d)
+    monkeypatch.setattr(conv2d_fused, "conv2d_fused_enabled", lambda: False)
+    want = yolo_forward(params, img, cfg)
+    for g, gn, w in zip(got_s2d, got_native, want):
+        np.testing.assert_allclose(np.asarray(gn), np.asarray(w), atol=2e-3, rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-3, rtol=1e-2)
+
+
+def test_tinyvit_conv_bn_wiring(monkeypatch):
+    """TinyViT stems/merges/neck through the fused conv == plain XLA
+    (rational-erf GELU bound)."""
+    _force_fused(monkeypatch)
+    from yolo_sam_inference_tpu.models.sam.tinyvit import (
+        TinyViTConfig, init_tinyvit_params, tinyvit_encoder,
+    )
+
+    cfg = TinyViTConfig(image_size=128)
+    params = init_tinyvit_params(0, cfg)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 128, 128, 3)) * 0.2, jnp.float32)
+    got = tinyvit_encoder(params, x, cfg, fused=False)
+    monkeypatch.setattr(conv2d_fused, "conv2d_fused_enabled", lambda: False)
+    want = tinyvit_encoder(params, x, cfg, fused=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3, rtol=1e-2)
+
+
+def test_sam_encoder_patchify_dot():
+    """The reshape+dot patch embed == the old strided-conv formulation."""
+    from yolo_sam_inference_tpu.models.sam.model import sam_image_encoder
+    from yolo_sam_inference_tpu.models.sam.config import sam_tiny_test
+    from yolo_sam_inference_tpu.models.sam.model import init_sam_params
+
+    cfg = sam_tiny_test()
+    params = init_sam_params(0, cfg)
+    rng = np.random.default_rng(5)
+    px = jnp.asarray(
+        rng.normal(size=(1, cfg.image_size, cfg.image_size, 3)), jnp.float32
+    )
+    got = sam_image_encoder(params, px, cfg)
+    p = params["vision"]
+    want = jax.lax.conv_general_dilated(
+        px, p["patch_embed"]["w"], (cfg.patch_size, cfg.patch_size), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["patch_embed"]["b"]
+    # compare just the patchify stage: recompute it the new way
+    ps = cfg.patch_size
+    b, s, _, ci = px.shape
+    gs = s // ps
+    patches = px.reshape(b, gs, ps, gs, ps, ci).transpose(0, 1, 3, 2, 4, 5)
+    new = patches.reshape(b, gs, gs, ps * ps * ci) @ p["patch_embed"]["w"].reshape(
+        ps * ps * ci, -1
+    ) + p["patch_embed"]["b"]
+    np.testing.assert_allclose(np.asarray(new), np.asarray(want), atol=1e-4, rtol=1e-4)
+    assert got.shape == (1, gs, gs, cfg.output_channels)

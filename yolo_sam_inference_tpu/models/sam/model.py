@@ -296,13 +296,19 @@ def sam_image_encoder(
     """ViT image encoder. pixel_values: (B, H, W, 3) normalized. -> (B, gs, gs, out_c)."""
     p = params["vision"]
     ps = cfg.patch_size
-    x = jax.lax.conv_general_dilated(
-        pixel_values,
-        p["patch_embed"]["w"],  # (ps, ps, 3, C) HWIO
-        window_strides=(ps, ps),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + p["patch_embed"]["b"]
+    # stride == kernel patchify is a reshape + one matmul — emitting it as
+    # an XLA convolution would anchor batch-minor operand layouts (the
+    # relayout-copy pathology traced in BENCH_NOTES r3l)
+    pw = p["patch_embed"]["w"]  # (ps, ps, 3, C) HWIO
+    b_, s_, _, ci_ = pixel_values.shape
+    gs_ = s_ // ps
+    patches = pixel_values.reshape(b_, gs_, ps, gs_, ps, ci_)
+    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(b_, gs_, gs_, ps * ps * ci_)
+    x = jax.lax.dot_general(
+        patches, pw.astype(patches.dtype).reshape(ps * ps * ci_, -1),
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(pixel_values.dtype) + p["patch_embed"]["b"]
     x = x + p["pos_embed"]
 
     s = cfg.grid_size
@@ -460,13 +466,23 @@ def _encoder_neck(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     n = p["neck"]
     y = jnp.einsum("bhwc,co->bhwo", x, n["conv1_w"])
     y = _layer_norm(n["ln1"], y, 1e-6)
-    y = jax.lax.conv_general_dilated(
-        y,
-        n["conv2_w"],  # (3, 3, out_c, out_c)
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    from ...ops.conv2d_fused import conv2d_fused_enabled, conv2d_supported
+
+    if conv2d_fused_enabled() and conv2d_supported(y.shape, 3, 1):
+        from ...ops.conv2d_fused import conv2d_act
+
+        y = conv2d_act(
+            y, n["conv2_w"], jnp.zeros((n["conv2_w"].shape[-1],), jnp.float32),
+            k=3, stride=1,
+        )
+    else:
+        y = jax.lax.conv_general_dilated(
+            y,
+            n["conv2_w"],  # (3, 3, out_c, out_c)
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     y = _layer_norm(n["ln2"], y, 1e-6)
     return y
 

@@ -66,10 +66,27 @@ def _gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
-def _conv_bn(p: Params, x: jnp.ndarray, stride: int = 1, groups: int = 1) -> jnp.ndarray:
-    """Conv with pre-folded BN (HWIO weights, 'same' padding)."""
+def _conv_bn(
+    p: Params, x: jnp.ndarray, stride: int = 1, groups: int = 1,
+    act: str = "none",
+) -> jnp.ndarray:
+    """Conv with pre-folded BN (HWIO weights, 'same' padding).
+
+    Dense convs route through the fused Pallas im2row pass on TPU
+    (ops/conv2d_fused.py; the XLA convs here were 9.2 ms/iter of the
+    MobileSAM B=128 bench and anchored batch-minor relayout copies —
+    BENCH_NOTES r3l). act="gelu" fuses the stems' erf-GELU into the pass;
+    depthwise convs (groups > 1) stay on XLA (their kernelized forms live
+    in ops/mbconv_fused.py / ops/merge_fused.py)."""
     kh = p["w"].shape[0]
     pad = kh // 2
+    if groups == 1:
+        from ...ops.conv2d_fused import conv2d_fused_enabled, conv2d_supported
+
+        if conv2d_fused_enabled() and conv2d_supported(x.shape, kh, stride):
+            from ...ops.conv2d_fused import conv2d_act
+
+            return conv2d_act(x, p["w"], p["b"], k=kh, stride=stride, act=act)
     y = jax.lax.conv_general_dilated(
         x,
         p["w"],
@@ -78,7 +95,8 @@ def _conv_bn(p: Params, x: jnp.ndarray, stride: int = 1, groups: int = 1) -> jnp
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
     )
-    return y + p["b"]
+    y = y + p["b"]
+    return _gelu(y) if act == "gelu" else y
 
 
 def _mbconv(
@@ -96,7 +114,7 @@ def _mbconv(
             interpret=interpret,
             compute=compute,
         )
-    h = _gelu(_conv_bn(p["conv1"], x))
+    h = _conv_bn(p["conv1"], x, act="gelu")
     h = _gelu(_conv_bn(p["conv2"], h, groups=h.shape[-1]))
     h = _conv_bn(p["conv3"], h)
     return _gelu(x + h)
@@ -140,7 +158,7 @@ def _patch_merge(
             compute=compute,
             residual=False,
         )
-    h = _gelu(_conv_bn(p["conv1"], x))
+    h = _conv_bn(p["conv1"], x, act="gelu")
     h = _gelu(_conv_bn(p["conv2"], h, stride=stride, groups=h.shape[-1]))
     return _conv_bn(p["conv3"], h)
 
@@ -284,8 +302,7 @@ def _stems_s2d(p: Params, pixel_values: jnp.ndarray) -> jnp.ndarray:
     from ..yolo.s2d import _conv_s2d, depth_to_space, space_to_depth
 
     x = space_to_depth(pixel_values)  # (S/2, 12)
-    x = _conv_s2d(p["stem1"], x, k=3, stride=2, act=False)  # (S/4, 4*(d0/2))
-    x = _gelu(x)
+    x = _conv_s2d(p["stem1"], x, k=3, stride=2, act="gelu")  # (S/4, 4*(d0/2))
     x = _conv_s2d(p["stem2"], x, k=3, stride=2, act=False)  # (S/8, 4*d0)
     return depth_to_space(x)  # (S/4, d0)
 
@@ -316,7 +333,7 @@ def tinyvit_encoder(
     else:
         # patch embed: Conv2d_BN + GELU + Conv2d_BN (no activation after the
         # second conv — tiny_vit_sam.py PatchEmbed.seq)
-        x = _gelu(_conv_bn(p["stem1"], pixel_values, stride=2))
+        x = _conv_bn(p["stem1"], pixel_values, stride=2, act="gelu")
         x = _conv_bn(p["stem2"], x, stride=2)  # /4
 
     # stage 0: MBConv
@@ -352,9 +369,19 @@ def tinyvit_encoder(
         )
     else:
         y = _layer_norm(n["ln1"], y, 1e-6)
-    y = jax.lax.conv_general_dilated(
-        y, n["conv2_w"], (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-    )
+    from ...ops.conv2d_fused import conv2d_fused_enabled, conv2d_supported
+
+    if conv2d_fused_enabled() and conv2d_supported(y.shape, 3, 1):
+        from ...ops.conv2d_fused import conv2d_act
+
+        y = conv2d_act(
+            y, n["conv2_w"], jnp.zeros((n["conv2_w"].shape[-1],), jnp.float32),
+            k=3, stride=1,
+        )
+    else:
+        y = jax.lax.conv_general_dilated(
+            y, n["conv2_w"], (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
     if fused:
         from ...ops.fused_ln import fused_ln
 

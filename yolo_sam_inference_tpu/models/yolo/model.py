@@ -23,9 +23,22 @@ Params = Dict[str, Any]
 
 
 def _conv(p: Params, x: jnp.ndarray, stride: int = 1, act: bool = True) -> jnp.ndarray:
-    """Conv (+folded BN) + SiLU. Weight layout HWIO; 'same'-style padding."""
+    """Conv (+folded BN) + SiLU. Weight layout HWIO; 'same'-style padding.
+
+    On TPU this routes through the fused Pallas im2row conv
+    (ops/conv2d_fused.py): the mid-stage XLA convs cost ~2.5 ms/iter at the
+    MobileSAM B=128 bench and anchor batch-minor relayout copies."""
     kh = p["w"].shape[0]
     pad = kh // 2
+    from ...ops.conv2d_fused import conv2d_fused_enabled, conv2d_supported
+
+    if conv2d_fused_enabled() and conv2d_supported(x.shape, kh, stride):
+        from ...ops.conv2d_fused import conv2d_act
+
+        return conv2d_act(
+            x, p["w"], p["b"], k=kh, stride=stride,
+            act="silu" if act else "none",
+        )
     y = jax.lax.conv_general_dilated(
         x,
         p["w"],

@@ -110,11 +110,24 @@ def _conv_s2d(
     k: int = 3,
     stride: int = 1,
     s2d_out: bool = True,
-    act: bool = True,
+    act=True,
 ) -> jnp.ndarray:
     """Run a transformed conv on an s2d tensor (geometry passed statically —
-    the param tree holds arrays only, so casting/device_put stay trivial)."""
+    the param tree holds arrays only, so casting/device_put stay trivial).
+
+    act: True = SiLU (YOLO), False = linear, or an activation name accepted
+    by ops/conv2d_fused (the TinyViT stems pass "gelu"). On TPU the conv
+    runs as a fused Pallas im2row pass (ops/conv2d_fused.py) — the XLA
+    convolutions this replaces anchored batch-minor layouts that cost ~9 ms
+    of relayout copies per MobileSAM B=128 iteration (BENCH_NOTES r3l)."""
+    act_name = act if isinstance(act, str) else ("silu" if act else "none")
     k2, pad2, stride2 = _block_geometry(k, stride, s2d_out)
+    from ...ops.conv2d_fused import conv2d_fused_enabled, conv2d_supported
+
+    if conv2d_fused_enabled() and conv2d_supported(x.shape, k2, stride2):
+        from ...ops.conv2d_fused import conv2d_act
+
+        return conv2d_act(x, p["w"], p["b"], k=k2, stride=stride2, act=act_name)
     pad_hi = k2 - 1 - pad2 - (stride2 - 1)
     y = jax.lax.conv_general_dilated(
         x,
@@ -124,7 +137,9 @@ def _conv_s2d(
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     y = y + p["b"].astype(x.dtype)
-    return jax.nn.silu(y) if act else y
+    if act_name == "gelu":
+        return jax.nn.gelu(y, approximate=False)
+    return jax.nn.silu(y) if act_name == "silu" else y
 
 
 def _bottleneck_s2d(p: Params, x: jnp.ndarray, shortcut: bool) -> jnp.ndarray:
