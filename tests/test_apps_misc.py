@@ -105,3 +105,19 @@ def test_run_config_snapshot(tmp_path, rng):
     )
     assert snap["batch_size"] == 1
     assert snap["run_id"] == pipe.run_id
+
+
+def test_runner_quant_flag_plumbs():
+    """--quant parses on both runners and lands in PipelineOptions."""
+    from yolo_sam_inference_tpu.apps import project_inference, single_batch_inference
+    from yolo_sam_inference_tpu.pipeline.engine import PipelineOptions
+
+    a = single_batch_inference.parse_args(
+        ["--input-dir", "/x", "--output-dir", "/y", "--quant", "int8"]
+    )
+    assert a.quant == "int8"
+    b = project_inference.parse_args(
+        ["--project-dir", "/x", "--output-dir", "/y", "--quant", "int8"]
+    )
+    assert b.quant == "int8"
+    assert PipelineOptions(quant="int8").quant == "int8"

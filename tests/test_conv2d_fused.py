@@ -85,9 +85,24 @@ def test_conv2d_supported_gates():
         )
 
 
+def test_mode_gates(monkeypatch):
+    """CONV2D_FUSED modes: "0" disables all, "dot" only k==1, "1" all
+    (given a mosaic backend)."""
+    import yolo_sam_inference_tpu.ops as ops_pkg
+
+    monkeypatch.setattr(ops_pkg, "mosaic_backend", lambda: True)
+    for mode, k1, k3 in (("0", False, False), ("dot", True, False), ("1", True, True)):
+        monkeypatch.setattr(conv2d_fused, "_MODE", mode)
+        assert conv2d_fused.conv2d_fused_enabled(1) is k1, mode
+        assert conv2d_fused.conv2d_fused_enabled(3) is k3, mode
+    monkeypatch.setattr(ops_pkg, "mosaic_backend", lambda: False)
+    monkeypatch.setattr(conv2d_fused, "_MODE", "1")
+    assert conv2d_fused.conv2d_fused_enabled(1) is False
+
+
 def _force_fused(monkeypatch):
     """CPU runs gate the fused path off; force it through the interpreter."""
-    monkeypatch.setattr(conv2d_fused, "conv2d_fused_enabled", lambda: True)
+    monkeypatch.setattr(conv2d_fused, "conv2d_fused_enabled", lambda k=1: True)
 
 
 def test_yolo_forward_wiring(monkeypatch):
@@ -106,7 +121,7 @@ def test_yolo_forward_wiring(monkeypatch):
 
     got_native = yolo_forward(params, img, cfg)
     got_s2d = yolo_forward(params, img, cfg, s2d_params=s2d)
-    monkeypatch.setattr(conv2d_fused, "conv2d_fused_enabled", lambda: False)
+    monkeypatch.setattr(conv2d_fused, "conv2d_fused_enabled", lambda k=1: False)
     want = yolo_forward(params, img, cfg)
     for g, gn, w in zip(got_s2d, got_native, want):
         np.testing.assert_allclose(np.asarray(gn), np.asarray(w), atol=2e-3, rtol=1e-2)
@@ -126,7 +141,7 @@ def test_tinyvit_conv_bn_wiring(monkeypatch):
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.normal(size=(1, 128, 128, 3)) * 0.2, jnp.float32)
     got = tinyvit_encoder(params, x, cfg, fused=False)
-    monkeypatch.setattr(conv2d_fused, "conv2d_fused_enabled", lambda: False)
+    monkeypatch.setattr(conv2d_fused, "conv2d_fused_enabled", lambda k=1: False)
     want = tinyvit_encoder(params, x, cfg, fused=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3, rtol=1e-2)
 

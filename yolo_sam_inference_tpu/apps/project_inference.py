@@ -37,6 +37,9 @@ def parse_args(argv=None):
     p.add_argument("--hull-mode", choices=("polygon", "reference"), default="polygon",
                    help="hull measurement: exact polygon (default) or the "
                         "reference's rasterize+regionprops procedure")
+    p.add_argument("--quant", choices=("none", "int8"), default="none",
+                   help="int8 = dynamic w8a8 SAM-encoder matmuls (~10-19%% "
+                        "faster; accuracy bounds: apps/quant_report.py)")
     p.add_argument("--roi-file", type=Path, default=None)
     p.add_argument("--roi", type=str, default=None,
                    help="x_min,x_max[,y_min,y_max] applied to every condition")
@@ -123,7 +126,7 @@ def main(argv=None) -> int:
     rois = resolve_rois(args, condition_names)
 
     opts = PipelineOptions(batch_size=args.batch_size, max_det=args.max_det,
-                           hull_mode=args.hull_mode)
+                           hull_mode=args.hull_mode, quant=args.quant)
     pipeline = ParallelCellSegmentationPipeline(
         yolo_model_path=args.yolo_model,
         sam_model_type=args.sam_model,

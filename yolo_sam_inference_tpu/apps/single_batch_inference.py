@@ -37,6 +37,9 @@ def parse_args(argv=None):
     p.add_argument("--hull-mode", choices=("polygon", "reference"), default="polygon",
                    help="hull measurement: exact polygon (default) or the "
                         "reference's rasterize+regionprops procedure")
+    p.add_argument("--quant", choices=("none", "int8"), default="none",
+                   help="int8 = dynamic w8a8 SAM-encoder matmuls (~10-19%% "
+                        "faster; accuracy bounds: apps/quant_report.py)")
     return p.parse_args(argv)
 
 
@@ -55,7 +58,7 @@ def main(argv=None) -> int:
         yolo_path = load_model_from_mlflow(args.experiment_id or "", args.run_id)
 
     opts = PipelineOptions(batch_size=args.batch_size, max_det=args.max_det,
-                           hull_mode=args.hull_mode)
+                           hull_mode=args.hull_mode, quant=args.quant)
     pipeline = CellSegmentationPipeline(
         yolo_model_path=yolo_path,
         sam_model_type=args.sam_model,

@@ -468,7 +468,7 @@ def _encoder_neck(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     y = _layer_norm(n["ln1"], y, 1e-6)
     from ...ops.conv2d_fused import conv2d_fused_enabled, conv2d_supported
 
-    if conv2d_fused_enabled() and conv2d_supported(y.shape, 3, 1):
+    if conv2d_fused_enabled(3) and conv2d_supported(y.shape, 3, 1):
         from ...ops.conv2d_fused import conv2d_act
 
         y = conv2d_act(

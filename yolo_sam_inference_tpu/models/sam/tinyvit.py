@@ -72,18 +72,17 @@ def _conv_bn(
 ) -> jnp.ndarray:
     """Conv with pre-folded BN (HWIO weights, 'same' padding).
 
-    Dense convs route through the fused Pallas im2row pass on TPU
-    (ops/conv2d_fused.py; the XLA convs here were 9.2 ms/iter of the
-    MobileSAM B=128 bench and anchored batch-minor relayout copies —
-    BENCH_NOTES r3l). act="gelu" fuses the stems' erf-GELU into the pass;
-    depthwise convs (groups > 1) stay on XLA (their kernelized forms live
-    in ops/mbconv_fused.py / ops/merge_fused.py)."""
+    CONV2D_FUSED=1 routes dense convs through the Pallas im2row pass
+    (ops/conv2d_fused.py) — measured slower than the XLA convs it replaces
+    (r3p A/B), so XLA is the default. act="gelu" fuses the stems' erf-GELU
+    into the opt-in pass; depthwise convs (groups > 1) stay on XLA (their
+    kernelized forms live in ops/mbconv_fused.py / ops/merge_fused.py)."""
     kh = p["w"].shape[0]
     pad = kh // 2
     if groups == 1:
         from ...ops.conv2d_fused import conv2d_fused_enabled, conv2d_supported
 
-        if conv2d_fused_enabled() and conv2d_supported(x.shape, kh, stride):
+        if conv2d_fused_enabled(kh) and conv2d_supported(x.shape, kh, stride):
             from ...ops.conv2d_fused import conv2d_act
 
             return conv2d_act(x, p["w"], p["b"], k=kh, stride=stride, act=act)
@@ -371,7 +370,7 @@ def tinyvit_encoder(
         y = _layer_norm(n["ln1"], y, 1e-6)
     from ...ops.conv2d_fused import conv2d_fused_enabled, conv2d_supported
 
-    if conv2d_fused_enabled() and conv2d_supported(y.shape, 3, 1):
+    if conv2d_fused_enabled(3) and conv2d_supported(y.shape, 3, 1):
         from ...ops.conv2d_fused import conv2d_act
 
         y = conv2d_act(

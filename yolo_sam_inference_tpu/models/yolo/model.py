@@ -25,14 +25,14 @@ Params = Dict[str, Any]
 def _conv(p: Params, x: jnp.ndarray, stride: int = 1, act: bool = True) -> jnp.ndarray:
     """Conv (+folded BN) + SiLU. Weight layout HWIO; 'same'-style padding.
 
-    On TPU this routes through the fused Pallas im2row conv
-    (ops/conv2d_fused.py): the mid-stage XLA convs cost ~2.5 ms/iter at the
-    MobileSAM B=128 bench and anchor batch-minor relayout copies."""
+    CONV2D_FUSED=1 routes this through the Pallas im2row conv
+    (ops/conv2d_fused.py) — measured slower than XLA's conv emitter on
+    device (r3p A/B), so the XLA path below is the default."""
     kh = p["w"].shape[0]
     pad = kh // 2
     from ...ops.conv2d_fused import conv2d_fused_enabled, conv2d_supported
 
-    if conv2d_fused_enabled() and conv2d_supported(x.shape, kh, stride):
+    if conv2d_fused_enabled(kh) and conv2d_supported(x.shape, kh, stride):
         from ...ops.conv2d_fused import conv2d_act
 
         return conv2d_act(

@@ -116,15 +116,14 @@ def _conv_s2d(
     the param tree holds arrays only, so casting/device_put stay trivial).
 
     act: True = SiLU (YOLO), False = linear, or an activation name accepted
-    by ops/conv2d_fused (the TinyViT stems pass "gelu"). On TPU the conv
-    runs as a fused Pallas im2row pass (ops/conv2d_fused.py) — the XLA
-    convolutions this replaces anchored batch-minor layouts that cost ~9 ms
-    of relayout copies per MobileSAM B=128 iteration (BENCH_NOTES r3l)."""
+    by ops/conv2d_fused (the TinyViT stems pass "gelu"). CONV2D_FUSED=1
+    swaps the XLA conv for the Pallas im2row pass (ops/conv2d_fused.py) —
+    measured slower on device (r3p A/B), so XLA is the default."""
     act_name = act if isinstance(act, str) else ("silu" if act else "none")
     k2, pad2, stride2 = _block_geometry(k, stride, s2d_out)
     from ...ops.conv2d_fused import conv2d_fused_enabled, conv2d_supported
 
-    if conv2d_fused_enabled() and conv2d_supported(x.shape, k2, stride2):
+    if conv2d_fused_enabled(k2) and conv2d_supported(x.shape, k2, stride2):
         from ...ops.conv2d_fused import conv2d_act
 
         return conv2d_act(x, p["w"], p["b"], k=k2, stride=stride2, act=act_name)

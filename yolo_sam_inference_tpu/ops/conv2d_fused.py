@@ -48,6 +48,14 @@ Reference anchor: these convs implement the YOLOv8n backbone/head
 (reference pipeline.py:72 loads the ultralytics checkpoint) and MobileSAM's
 TinyViT stems/merges/neck (reference pipeline.py:76 swaps SAM variants by
 checkpoint name); the reference runs both through cuDNN.
+
+STATUS — measured NEGATIVE, kept as an opt-in (CONV2D_FUSED=1): the r3p
+device A/B put the dense pass at 499.6 vs 524.3 img/s (config 1) and 720.3
+vs 781.6 (config 2). The strip kernels pass parity but run ~30 ms/iter
+where XLA's convs take ~22 ms, and the batch-minor relayout copies the
+pass was built to kill largely survive (the unsupported-geometry fallback
+convs keep the layout anchors alive — r3p trace, BENCH_NOTES.md
+session 10).
 """
 
 from __future__ import annotations
@@ -62,16 +70,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_ln import _erf_as
 
-# kill switch for device A/B: CONV2D_FUSED=0 restores the XLA convs
-_ENABLED = os.environ.get("CONV2D_FUSED", "1") == "1"
+# Device A/B modes: "1" (all — dense Pallas strip kernels + 1x1 dots),
+# "dot" (only the k==1 dot path: kills those conv ops' batch-minor layout
+# anchors without any Pallas kernel; dense k=2/3 convs stay on XLA), and
+# "0" (XLA convs everywhere — the DEFAULT: the r3p device A/B measured the
+# dense pass at 499.6 vs 524.3 img/s on config 1 and 720.3 vs 781.6 on
+# config 2, i.e. XLA's conv emitter beats these strip kernels even after
+# paying its batch-minor relayout copies, and the copies largely survive
+# anyway because the unsupported-geometry fallback convs keep the layout
+# anchors alive; see BENCH_NOTES.md session 10).
+_MODE = os.environ.get("CONV2D_FUSED", "0")
 
 _VMEM_BUDGET = 5_000_000
 
 
-def conv2d_fused_enabled() -> bool:
+def conv2d_fused_enabled(k: int = 1) -> bool:
+    """True when :func:`conv2d_act` should replace the XLA conv for this k.
+
+    Mode "1" enables every geometry; "dot" only the k==1 dot path (no
+    Pallas kernel — the point is just to stop emitting `convolution` ops);
+    "0" (default) none."""
     from . import mosaic_backend
 
-    return _ENABLED and mosaic_backend()
+    if _MODE == "0" or not mosaic_backend():
+        return False
+    return _MODE == "1" or k == 1
 
 
 def _apply_act(y: jnp.ndarray, act: str) -> jnp.ndarray:
