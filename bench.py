@@ -220,7 +220,7 @@ def _run_bench() -> None:
     if not any(os.environ.get(k) for k in
                ("BENCH_SAM", "BENCH_SIZE", "BENCH_E2E", "BENCH_MAX_DET",
                 "BENCH_BATCH", "BENCH_ITERS", "BENCH_CHUNK", "BENCH_QUANT",
-                "BENCH_TV_BF16", "BENCH_TV_S2D", "BENCH_DP")):
+                "BENCH_TV_BF16", "BENCH_TV_S2D", "BENCH_DP", "CONV2D_FUSED")):
         try:
             with open(_LAST_GOOD, "w") as f:
                 f.write(json.dumps({"saved_at": time.strftime("%Y-%m-%d %H:%M:%S"),

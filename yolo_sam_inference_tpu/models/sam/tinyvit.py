@@ -72,10 +72,11 @@ def _conv_bn(
 ) -> jnp.ndarray:
     """Conv with pre-folded BN (HWIO weights, 'same' padding).
 
-    CONV2D_FUSED=1 routes dense convs through the Pallas im2row pass
-    (ops/conv2d_fused.py) — measured slower than the XLA convs it replaces
-    (r3p A/B), so XLA is the default. act="gelu" fuses the stems' erf-GELU
-    into the opt-in pass; depthwise convs (groups > 1) stay on XLA (their
+    1x1 convs run as dots by default (ops/conv2d_fused.py mode "dot", r3q
+    A/B); CONV2D_FUSED=1 routes dense convs through the Pallas im2row pass
+    too — measured slower than the XLA convs it replaces (r3p A/B), so
+    dense stays on XLA. act="gelu" fuses the stems' erf-GELU into the
+    opt-in pass; depthwise convs (groups > 1) stay on XLA (their
     kernelized forms live in ops/mbconv_fused.py / ops/merge_fused.py)."""
     kh = p["w"].shape[0]
     pad = kh // 2

@@ -25,9 +25,9 @@ Params = Dict[str, Any]
 def _conv(p: Params, x: jnp.ndarray, stride: int = 1, act: bool = True) -> jnp.ndarray:
     """Conv (+folded BN) + SiLU. Weight layout HWIO; 'same'-style padding.
 
-    CONV2D_FUSED=1 routes this through the Pallas im2row conv
-    (ops/conv2d_fused.py) — measured slower than XLA's conv emitter on
-    device (r3p A/B), so the XLA path below is the default."""
+    1x1 convs run as dots by default (ops/conv2d_fused.py mode "dot",
+    r3q A/B); dense convs stay on the XLA path below — the Pallas im2row
+    pass (CONV2D_FUSED=1) measured slower on device (r3p A/B)."""
     kh = p["w"].shape[0]
     pad = kh // 2
     from ...ops.conv2d_fused import conv2d_fused_enabled, conv2d_supported

@@ -116,9 +116,10 @@ def _conv_s2d(
     the param tree holds arrays only, so casting/device_put stay trivial).
 
     act: True = SiLU (YOLO), False = linear, or an activation name accepted
-    by ops/conv2d_fused (the TinyViT stems pass "gelu"). CONV2D_FUSED=1
-    swaps the XLA conv for the Pallas im2row pass (ops/conv2d_fused.py) —
-    measured slower on device (r3p A/B), so XLA is the default."""
+    by ops/conv2d_fused (the TinyViT stems pass "gelu"). 1x1 convs run as
+    dots by default (mode "dot", r3q A/B); CONV2D_FUSED=1 swaps the dense
+    XLA convs for the Pallas im2row pass too — measured slower on device
+    (r3p A/B), so dense stays on XLA."""
     act_name = act if isinstance(act, str) else ("silu" if act else "none")
     k2, pad2, stride2 = _block_geometry(k, stride, s2d_out)
     from ...ops.conv2d_fused import conv2d_fused_enabled, conv2d_supported

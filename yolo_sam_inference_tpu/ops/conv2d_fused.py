@@ -49,13 +49,15 @@ Reference anchor: these convs implement the YOLOv8n backbone/head
 TinyViT stems/merges/neck (reference pipeline.py:76 swaps SAM variants by
 checkpoint name); the reference runs both through cuDNN.
 
-STATUS — measured NEGATIVE, kept as an opt-in (CONV2D_FUSED=1): the r3p
-device A/B put the dense pass at 499.6 vs 524.3 img/s (config 1) and 720.3
-vs 781.6 (config 2). The strip kernels pass parity but run ~30 ms/iter
-where XLA's convs take ~22 ms, and the batch-minor relayout copies the
-pass was built to kill largely survive (the unsupported-geometry fallback
-convs keep the layout anchors alive — r3p trace, BENCH_NOTES.md
-session 10).
+STATUS — the dense kernels measured NEGATIVE and are kept as an opt-in
+(CONV2D_FUSED=1): the r3p device A/B put the dense pass at 499.6 vs 524.3
+img/s (config 1) and 720.3 vs 781.6 (config 2). The strip kernels pass
+parity but run ~30 ms/iter where XLA's convs take ~22 ms, and the
+batch-minor relayout copies the pass was built to kill largely survive
+(the unsupported-geometry fallback convs keep the layout anchors alive —
+r3p trace, BENCH_NOTES.md session 10). The 1x1-dot-only middle ground IS
+the default (CONV2D_FUSED=dot): r3q measured it at 525.4 (config 1) and
+787.9 (config 2) against the all-XLA control's 524.3 / 781.6.
 """
 
 from __future__ import annotations
@@ -70,16 +72,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_ln import _erf_as
 
-# Device A/B modes: "1" (all — dense Pallas strip kernels + 1x1 dots),
-# "dot" (only the k==1 dot path: kills those conv ops' batch-minor layout
-# anchors without any Pallas kernel; dense k=2/3 convs stay on XLA), and
-# "0" (XLA convs everywhere — the DEFAULT: the r3p device A/B measured the
-# dense pass at 499.6 vs 524.3 img/s on config 1 and 720.3 vs 781.6 on
-# config 2, i.e. XLA's conv emitter beats these strip kernels even after
-# paying its batch-minor relayout copies, and the copies largely survive
-# anyway because the unsupported-geometry fallback convs keep the layout
-# anchors alive; see BENCH_NOTES.md session 10).
-_MODE = os.environ.get("CONV2D_FUSED", "0")
+# Device A/B modes: "dot" (the DEFAULT — only the k==1 convs run as dots;
+# no Pallas kernel, the point is just to stop emitting `convolution` ops:
+# r3q measured 525.4 vs 524.3 img/s on config 1 and 787.9 vs 781.6 on
+# config 2 against the all-XLA control), "1" (dense Pallas strip kernels
+# everywhere — measured NEGATIVE, r3p: 499.6 / 720.3 on the same configs;
+# XLA's conv emitter beats the strip kernels even after paying its
+# batch-minor relayout copies, and the copies largely survive anyway
+# because the unsupported-geometry fallback convs keep the layout anchors
+# alive), and "0" (XLA convs everywhere — the measured r3p/r3q control;
+# see BENCH_NOTES.md session 10).
+_MODE = os.environ.get("CONV2D_FUSED", "dot")
 
 _VMEM_BUDGET = 5_000_000
 
