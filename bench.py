@@ -135,6 +135,22 @@ def _run_bench() -> None:
     sync(out)
     dt = time.perf_counter() - t0
 
+    # Preliminary result line, flushed immediately: the watchdog parent
+    # takes the LAST parseable stdout line, so if it kills this child
+    # during the latency loop / teardown below, the measured throughput
+    # still reaches the pipe (an unflushed print dies with the process —
+    # stdout into a pipe is block-buffered).
+    ips_prelim = (batch * chunk * iters / dt if chunk > 1
+                  else batch * iters / dt)
+    print(json.dumps({
+        "metric": "end-to-end images/sec/chip (preliminary, no latency "
+                  "percentiles)",
+        "value": round(ips_prelim, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips_prelim / 500.0, 4),
+        "batch": batch,
+    }), flush=True)
+
     # per-batch latency distribution: sync EVERY iteration (no pipelining),
     # so each sample is dispatch + device + result-ready wall time
     lat = []
@@ -214,7 +230,7 @@ def _run_bench() -> None:
         **result,
     }
     line = json.dumps(result)
-    print(line)
+    print(line, flush=True)
     # persist for the parent watchdog's cold-cache fallback (only the
     # default driver config — env-tweaked runs measure something else)
     if not any(os.environ.get(k) for k in
@@ -241,8 +257,13 @@ def main() -> None:
     budget = float(os.environ.get("BENCH_BUDGET", "150"))
     t0 = time.time()
     env = dict(os.environ)
+    # test seam: tests/test_bench_watchdog.py substitutes a scripted child
+    # to exercise the kill/recover/fallback paths without a device
+    child_cmd = (json.loads(os.environ["BENCH_CHILD_CMD"])
+                 if os.environ.get("BENCH_CHILD_CMD")
+                 else [sys.executable, os.path.abspath(__file__), "--child"])
     proc = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--child"],
+        child_cmd,
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env, text=True,
     )
     out = ""

@@ -1,0 +1,116 @@
+"""Driver-facing bench watchdog behavior (bench.py main()).
+
+Round 2's official record was lost to a driver timeout (BENCH_r02.json
+rc=124, parsed=null); the watchdog in bench.py is the fix, so its three
+recovery paths are load-bearing for every round's official number:
+
+1. a live child that prints a result inside the budget is passed through;
+2. a child killed at the budget still yields its PRELIMINARY result line
+   (printed + flushed right after the timed loop — reference for the
+   failure mode: an unflushed print into a pipe dies with the process);
+3. a child that produces nothing falls back to ``.bench_last.json`` with
+   an explicit ``"fallback"`` label, and reports a zero-value error record
+   when no cached result exists either.
+
+The scripted child is substituted via the BENCH_CHILD_CMD test seam so no
+device (and no 5-minute XLA compile) is involved.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _run_watchdog(tmp_path, child_code: str, budget: str = "2",
+                  last_good: dict | None = None):
+    last_path = str(tmp_path / "last_good.json")
+    if last_good is not None:
+        with open(last_path, "w") as f:
+            json.dump(last_good, f)
+    env = dict(os.environ)
+    env.pop("BENCH_NO_WATCHDOG", None)
+    env.update(
+        BENCH_BUDGET=budget,
+        BENCH_LAST_GOOD=last_path,
+        BENCH_CHILD_CMD=json.dumps([sys.executable, "-c", child_code]),
+    )
+    out = subprocess.run(
+        [sys.executable, BENCH], env=env, capture_output=True, text=True,
+        timeout=60,
+    )
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    assert lines, f"watchdog printed nothing (stderr: {out.stderr[-500:]})"
+    return json.loads(lines[-1])
+
+
+def test_live_result_passes_through(tmp_path):
+    child = (
+        "import json; "
+        "print(json.dumps({'metric': 'm', 'value': 525.4, "
+        "'unit': 'images/sec/chip', 'vs_baseline': 1.05}))"
+    )
+    rec = _run_watchdog(tmp_path, child, budget="30")
+    assert rec["value"] == 525.4
+    assert "fallback" not in rec
+
+
+def test_killed_child_recovers_flushed_preliminary_line(tmp_path):
+    # child prints + flushes a preliminary result, then hangs past the
+    # budget — the parent must kill it and still report the live number
+    child = (
+        "import json, sys, time; "
+        "print(json.dumps({'metric': 'preliminary', 'value': 511.0, "
+        "'unit': 'images/sec/chip', 'vs_baseline': 1.022}), flush=True); "
+        "time.sleep(60)"
+    )
+    rec = _run_watchdog(tmp_path, child, budget="2")
+    assert rec["value"] == 511.0
+    assert "fallback" not in rec
+
+
+def test_silent_child_falls_back_to_last_good(tmp_path):
+    saved = {
+        "saved_at": "2026-08-19 20:21:08",
+        "result": {"metric": "m", "value": 524.3,
+                   "unit": "images/sec/chip", "vs_baseline": 1.0486},
+    }
+    rec = _run_watchdog(tmp_path, "import sys; sys.exit(3)", budget="10",
+                        last_good=saved)
+    assert rec["value"] == 524.3
+    assert "fallback" in rec and "rc=3" in rec["fallback"]
+
+
+def test_hung_silent_child_falls_back_with_budget_reason(tmp_path):
+    saved = {
+        "saved_at": "2026-08-19 20:21:08",
+        "result": {"metric": "m", "value": 524.3,
+                   "unit": "images/sec/chip", "vs_baseline": 1.0486},
+    }
+    rec = _run_watchdog(tmp_path, "import time; time.sleep(60)", budget="2",
+                        last_good=saved)
+    assert rec["value"] == 524.3
+    assert "budget" in rec["fallback"]
+
+
+def test_no_cached_result_reports_parseable_error(tmp_path):
+    rec = _run_watchdog(tmp_path, "import sys; sys.exit(1)", budget="10")
+    assert rec["value"] == 0.0
+    assert "error" in rec
+
+
+def test_unparseable_noise_lines_are_skipped(tmp_path):
+    child = (
+        "import json; "
+        "print('WARNING: some log line'); "
+        "print(json.dumps({'metric': 'm', 'value': 500.1, "
+        "'unit': 'images/sec/chip', 'vs_baseline': 1.0})); "
+        "print('teardown noise, not json')"
+    )
+    rec = _run_watchdog(tmp_path, child, budget="30")
+    assert rec["value"] == 500.1
