@@ -45,11 +45,29 @@ def _enable_compile_cache(jax):
     except Exception:
         pass
 
+def _phase_logger():
+    """BENCH_PHASES=1: stderr wall-clock marks per startup phase — the tool
+    that found where the warm fresh-process wall goes (the watchdog budget
+    is 150 s; everything before the preliminary print must fit in it)."""
+    if not os.environ.get("BENCH_PHASES"):
+        return lambda name: None
+    t0 = time.perf_counter()
+
+    def mark(name: str) -> None:
+        print(f"[phase {time.perf_counter() - t0:7.1f}s] {name}",
+              file=sys.stderr, flush=True)
+
+    return mark
+
+
 def _run_bench() -> None:
+    phase = _phase_logger()
     import jax
 
     _enable_compile_cache(jax)
     import jax.numpy as jnp
+
+    phase("jax imported")
 
     from yolo_sam_inference_tpu.pipeline.engine import (
         CellSegmentationPipeline,
@@ -93,9 +111,11 @@ def _run_bench() -> None:
         mesh = make_mesh(dp=dp, tp=1, devices=jax.devices()[:dp])
         if batch % dp:
             raise SystemExit(f"BENCH_BATCH={batch} must divide by BENCH_DP={dp}")
+    phase("engine imported")
     pipe = CellSegmentationPipeline(
         sam_model_type=sam_model, options=opts, mesh=mesh
     )
+    phase("pipeline init (weights)")
 
     rng = np.random.default_rng(0)
     # synthetic microscopy-like frames: bright blobs on dark background.
@@ -112,7 +132,9 @@ def _run_bench() -> None:
             blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
             gray[b][blob] = rng.uniform(150, 220)
     imgs = np.repeat(gray.astype(np.uint8)[..., None], 3, axis=-1)
+    phase("synthetic data generated")
     dev_imgs = jnp.asarray(imgs)
+    phase("batch uploaded")
 
     def sync(out):
         # a tiny device->host transfer is the only reliable sync primitive on
@@ -123,10 +145,12 @@ def _run_bench() -> None:
     # compile + warmup
     out = pipe.fused_call(dev_imgs)
     sync(out)
+    phase("fused_call warm (compile-cache load + first run)")
     if chunk > 1:
         dev_chunks = jnp.asarray(np.broadcast_to(imgs, (chunk, *imgs.shape)))
         out = pipe.fused_call_chunked(dev_chunks)
         sync(out)
+        phase("chunked upload + warm")
 
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -140,6 +164,7 @@ def _run_bench() -> None:
     # during the latency loop / teardown below, the measured throughput
     # still reaches the pipe (an unflushed print dies with the process —
     # stdout into a pipe is block-buffered).
+    phase("throughput loop done")
     ips_prelim = (batch * chunk * iters / dt if chunk > 1
                   else batch * iters / dt)
     print(json.dumps({
