@@ -69,7 +69,10 @@ def test_killed_child_recovers_flushed_preliminary_line(tmp_path):
         "'unit': 'images/sec/chip', 'vs_baseline': 1.022}), flush=True); "
         "time.sleep(60)"
     )
-    rec = _run_watchdog(tmp_path, child, budget="2")
+    # budget must outlast child *startup* (a loaded 1-vCPU host can take
+    # >2 s to exec python) but stay far under the 60 s hang — the kill
+    # path is exercised either way
+    rec = _run_watchdog(tmp_path, child, budget="8")
     assert rec["value"] == 511.0
     assert "fallback" not in rec
 
