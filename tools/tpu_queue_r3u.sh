@@ -22,9 +22,13 @@ cd "$(dirname "$0")/.." || exit 1
 LOG=/tmp/tpu_queue_r3u.log
 
 echo "=== queue_r3u start $(date) ===" >> "$LOG"
-until timeout 90 python -c "import jax, jax.numpy as jnp; print(float((jnp.ones((256,256))@jnp.ones((256,256))).sum()))" >> "$LOG" 2>&1; do
+# Probe timeout must be generous: a recovering relay can take ~5 min to
+# serve a fresh client, and a short timeout that kills the mid-init client
+# WEDGES it further (observed 2026-08-20: three 90 s probe kills -> two
+# ~5 min client attaches before recovery).
+until timeout 600 python -c "import jax, jax.numpy as jnp; print(float((jnp.ones((256,256))@jnp.ones((256,256))).sum()))" >> "$LOG" 2>&1; do
   echo "relay still down $(date)" >> "$LOG"
-  sleep 90
+  sleep 180
 done
 echo "RELAY OK $(date)" >> "$LOG"
 
