@@ -269,3 +269,35 @@ def test_frame_cleaner_no_debug_flag(tmp_path):
     clean_frames(src, tmp_path / "out", StubPipeline(),
                  debug_visualizations=False)
     assert not (tmp_path / "out" / "debug_visualizations").exists()
+
+
+def test_ms_process_debug_dumps(images_bin_project, tmp_path):
+    """Sampled stage dumps land in <batch_dir>/debug (reference
+    tools/ms_opencv_process.py:599-613, :776-800)."""
+    from yolo_sam_inference_tpu.classical.ms_process import (
+        MsProcessingConfig,
+        process_project,
+    )
+
+    cfg = MsProcessingConfig(threshold=30, min_area=100, max_area=2000,
+                             debug_dumps=True, batch_size=4)
+    process_project(images_bin_project, tmp_path / "msout", cfg)
+    dbg = images_bin_project / "batch_1" / "debug"
+    assert dbg.is_dir()
+    # 6 frames -> sampled indices 0..4 (and 0 % 1000) all dump 4 stages each
+    for idx in (0, 4):
+        for stage in ("original", "roi", "background", "processed"):
+            assert (dbg / f"image_{idx}_{stage}.png").exists(), (idx, stage)
+    # index 5 is not sampled
+    assert not (dbg / "image_5_original.png").exists()
+
+
+def test_ms_process_no_debug_dumps_by_default(images_bin_project, tmp_path):
+    from yolo_sam_inference_tpu.classical.ms_process import (
+        MsProcessingConfig,
+        process_project,
+    )
+
+    cfg = MsProcessingConfig(threshold=30, min_area=100, max_area=2000)
+    process_project(images_bin_project, tmp_path / "msout", cfg)
+    assert not (images_bin_project / "batch_1" / "debug").exists()

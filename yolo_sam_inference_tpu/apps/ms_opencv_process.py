@@ -21,6 +21,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--no-single-inner", action="store_true",
                    help="disable the require-single-inner-contour gate")
+    p.add_argument("--debug-dumps", action="store_true",
+                   help="write sampled per-frame stage PNGs (original/roi/"
+                        "background/processed) to <batch_dir>/debug "
+                        "(reference :599-613, :776-800)")
     args = p.parse_args(argv)
     if not args.project_dir.is_dir():
         print(f"error: --project-dir does not exist: {args.project_dir}")
@@ -31,6 +35,7 @@ def main(argv=None) -> int:
         max_area=args.max_area,
         batch_size=args.batch_size,
         require_single_inner=not args.no_single_inner,
+        debug_dumps=args.debug_dumps,
     )
     df = process_project(args.project_dir, args.output_dir, cfg)
     print(f"{len(df)} valid cells -> {args.output_dir / 'deformability_results.csv'}")

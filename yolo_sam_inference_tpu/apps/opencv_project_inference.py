@@ -22,6 +22,11 @@ import numpy as np
 import pandas as pd
 
 from ..classical.pipeline import ClassicalParams, ClassicalPipeline
+from ..classical.viz import (
+    disambiguated_name,
+    save_mask_pngs,
+    save_visualization,
+)
 from ..io.images import list_image_files, load_image
 from ..utils.logger import setup_logger
 
@@ -53,8 +58,12 @@ def run_condition(
     condition_dir: Path,
     roi: Optional[Dict[str, int]],
     batch_size: int,
+    vis_dir: Optional[Path] = None,
 ):
-    """-> (cell rows, image summary rows) for one condition."""
+    """-> (cell rows, image summary rows) for one condition. With
+    ``vis_dir``, writes per-image side-by-side overlays + mask PNGs there
+    (reference ``:527-583, :357-374``; filenames batch-disambiguated per
+    ``:291-308``)."""
     cell_rows, image_rows = [], []
     for batch_dir in find_batch_folders(condition_dir):
         files, bg_path = find_frames_and_background(batch_dir)
@@ -75,9 +84,27 @@ def run_condition(
             for i in range(0, len(items), batch_size):
                 chunk = items[i : i + batch_size]
                 frames = np.stack([im for _, im in chunk])
-                results = pipeline.process_images(
-                    frames, background_key=str(batch_dir), roi=roi
-                )
+                if vis_dir is not None:
+                    results, masks, filt = pipeline.process_images(
+                        frames, background_key=str(batch_dir), roi=roi,
+                        return_masks=True,
+                    )
+                    for j, (path, img) in enumerate(chunk):
+                        name = disambiguated_name(path)
+                        try:
+                            save_visualization(
+                                img, masks[j], filt[j], roi,
+                                vis_dir / f"{name}_visualization.png",
+                                results[j],
+                            )
+                            save_mask_pngs(masks[j], filt[j], vis_dir, name)
+                        except Exception as exc:  # viz is never fatal
+                            logger.warning("visualization failed for %s: %s",
+                                           path, exc)
+                else:
+                    results = pipeline.process_images(
+                        frames, background_key=str(batch_dir), roi=roi
+                    )
                 for (path, _), rows in zip(chunk, results):
                     for k, row in enumerate(rows):
                         cell_rows.append(
@@ -128,7 +155,10 @@ def run_with_threshold(
     all_cells, all_images = [], []
     for cond in sorted(d for d in Path(project_dir).iterdir() if d.is_dir()):
         t0 = time.time()
-        cells, images = run_condition(pipeline, cond, roi, args.batch_size)
+        # per-condition visualization dir (reference :590-592)
+        vis_dir = (run_dir / cond.name) if args.save_visualizations else None
+        cells, images = run_condition(pipeline, cond, roi, args.batch_size,
+                                      vis_dir=vis_dir)
         all_cells.extend(cells)
         all_images.extend(images)
         logger.info(
@@ -168,6 +198,11 @@ def main(argv=None) -> int:
     p.add_argument("--min-area", type=float, default=50.0)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--roi", type=str, default=None, help="x_min,x_max[,y_min,y_max]")
+    p.add_argument("--save-visualizations", action="store_true", default=True,
+                   help="write per-image side-by-side overlays + mask PNGs "
+                        "(reference :527-583; default on)")
+    p.add_argument("--no-save-visualizations", dest="save_visualizations",
+                   action="store_false")
     args = p.parse_args(argv)
     if not args.project_dir.is_dir():
         print(f"error: --project-dir does not exist: {args.project_dir}")

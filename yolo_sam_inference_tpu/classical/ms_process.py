@@ -67,6 +67,11 @@ class MsProcessingConfig:
     min_area_ratio: float = 0.0
     require_single_inner: bool = True
     batch_size: int = 64
+    # sampled per-frame stage dumps (original / roi / background / processed
+    # PNGs under <batch_dir>/debug) — the operator's gate-tuning window into
+    # a 17k-frame stream (reference ``:599-613, :776-800``); the reference
+    # samples indices {0..4, 10, 20, 50, 100, 500} plus every 1000th frame
+    debug_dumps: bool = False
 
     def to_json(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -203,6 +208,39 @@ def discover_batch_dirs(root: Path) -> List[Path]:
     return sorted({p.parent for p in Path(root).rglob("images.bin")})
 
 
+# reference debug_sample_indices (``:601``); every 1000th frame also dumps
+_DEBUG_SAMPLE_INDICES = frozenset({0, 1, 2, 3, 4, 10, 20, 50, 100, 500})
+
+
+def _is_debug_frame(idx: int) -> bool:
+    return idx in _DEBUG_SAMPLE_INDICES or idx % 1000 == 0
+
+
+def _dump_debug_frames(
+    debug_dir: Path,
+    idx: int,
+    original: np.ndarray,
+    roi_image: np.ndarray,
+    background: np.ndarray,
+    mask: np.ndarray,
+) -> None:
+    """PNG stage dumps for one sampled frame (reference ``:776-800``:
+    image_{i}_original / _roi / _background / _processed). Never fatal."""
+    try:
+        from PIL import Image
+
+        debug_dir.mkdir(parents=True, exist_ok=True)
+        u8 = lambda a: np.clip(np.asarray(a), 0, 255).astype(np.uint8)
+        Image.fromarray(u8(original)).save(debug_dir / f"image_{idx}_original.png")
+        Image.fromarray(u8(roi_image)).save(debug_dir / f"image_{idx}_roi.png")
+        Image.fromarray(u8(background)).save(
+            debug_dir / f"image_{idx}_background.png")
+        Image.fromarray(u8(np.asarray(mask, bool) * 255)).save(
+            debug_dir / f"image_{idx}_processed.png")
+    except Exception as exc:  # pragma: no cover - diagnostics only
+        logger.warning("debug dump failed for frame %d: %s", idx, exc)
+
+
 def process_stream(
     bin_path: Path,
     cfg: MsProcessingConfig,
@@ -210,13 +248,15 @@ def process_stream(
     roi: Optional[Dict[str, int]] = None,
 ) -> pd.DataFrame:
     """Process one images.bin -> rows (frame_index, area, perimeter,
-    circularity, deformability)."""
+    circularity, deformability). With ``cfg.debug_dumps``, sampled frames'
+    stage images land under ``<batch_dir>/debug`` (reference ``:776-800``)."""
     bin_path = Path(bin_path)
+    debug_dir = bin_path.parent / "debug"
     rows = []
     frame_idx = 0
     bg_prepped = None
-    for batch in iter_frame_batches(bin_path, cfg.batch_size):
-        batch = crop_roi(batch, roi)
+    for raw_batch in iter_frame_batches(bin_path, cfg.batch_size):
+        batch = crop_roi(raw_batch, roi)
         if bg_prepped is None:
             if background is None:
                 background = batch[0]  # first frame as background fallback
@@ -224,6 +264,9 @@ def process_stream(
             bg_prepped = preprocess_background(bg, cfg)
         masks = process_frame_batch(batch, bg_prepped, cfg)
         for i in range(masks.shape[0]):
+            if cfg.debug_dumps and _is_debug_frame(frame_idx):
+                _dump_debug_frames(debug_dir, frame_idx, raw_batch[i],
+                                   batch[i], bg_prepped, masks[i])
             mets = analyze_mask(masks[i], cfg)
             if mets is not None:
                 rows.append({"frame_index": frame_idx, **mets})

@@ -140,13 +140,17 @@ class ClassicalPipeline:
         background: Optional[np.ndarray] = None,
         background_key: str = "default",
         roi: Optional[Dict[str, int]] = None,
-    ) -> List[List[Dict[str, Any]]]:
+        return_masks: bool = False,
+    ) -> Any:
         """Process a batch of frames -> per-frame lists of cell-metric dicts.
 
         Metrics use the classical variant: placeholder hull values
         (circularity = deformability = 0.5, area_ratio = 1 — reference
         ``:82-88``); a cell is kept only if its bbox intersects the ROI
-        (reference ``:251-268``).
+        (reference ``:251-268``). With ``return_masks=True`` also returns
+        the raw post-morphology masks and the kept-components-only masks
+        (both (B, H, W) bool) for the side-by-side visualizations
+        (reference ``:527-583``).
         """
         frames = np.asarray(frames)
         if background is not None:
@@ -159,6 +163,8 @@ class ClassicalPipeline:
 
         results: List[List[Dict[str, Any]]] = []
         h, w = masks.shape[1:]
+        cm = min(self.params.metric_crop, h, w)
+        filtered = (np.zeros_like(masks, dtype=bool) if return_masks else None)
         for b in range(masks.shape[0]):
             comps = self.extract_components(masks[b])
             if not comps:
@@ -186,7 +192,12 @@ class ClassicalPipeline:
                 if roi is not None and not _bbox_intersects_roi(row, roi):
                     continue
                 rows.append(row)
+                if filtered is not None:
+                    r0, c0 = offs[i]
+                    filtered[b, r0 : r0 + cm, c0 : c0 + cm] |= crops[i]
             results.append(rows)
+        if return_masks:
+            return results, masks.astype(bool), filtered
         return results
 
     def save_parameters(self, path) -> None:
