@@ -124,13 +124,19 @@ def _run_bench() -> None:
     # host->device transfer); the fused number below still transfers and
     # computes full RGB.
     gray = (rng.normal(40, 5, size=(batch, size, size))).clip(0, 255)
-    yy, xx = np.mgrid[:size, :size]
+    # each blob only touches its bounding box — the full-canvas mask per blob
+    # cost ~7 s of the startup budget (r4 phase log); same RNG draw order, so
+    # the images are bit-identical to the full-canvas version
     for b in range(batch):
         for _ in range(8):
             cy, cx = rng.uniform(30, size - 30, 2)
             r = rng.uniform(8, 20)
+            val = rng.uniform(150, 220)
+            y0, y1 = max(0, int(cy - r)), min(size, int(cy + r) + 2)
+            x0, x1 = max(0, int(cx - r)), min(size, int(cx + r) + 2)
+            yy, xx = np.mgrid[y0:y1, x0:x1]
             blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
-            gray[b][blob] = rng.uniform(150, 220)
+            gray[b, y0:y1, x0:x1][blob] = val
     imgs = np.repeat(gray.astype(np.uint8)[..., None], 3, axis=-1)
     phase("synthetic data generated")
     dev_imgs = jnp.asarray(imgs)
@@ -220,11 +226,45 @@ def _run_bench() -> None:
                     f"{td}/img_{i:04d}.png"
                 )
             out_dir = tempfile.mkdtemp()
+            # /proc/stat sampler: host-CPU busy fraction during the run — the
+            # evidence for/against "the 1-vCPU host is the e2e wall"
+            # (VERDICT r3 weak #2). Total-jiffies based, so it reflects all
+            # cores if the host grows some.
+            import threading
+
+            cpu_samples = []
+            stop_evt = threading.Event()
+
+            def _read_stat():
+                with open("/proc/stat") as sf:
+                    vals = [int(v) for v in sf.readline().split()[1:]]
+                idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+                return sum(vals), idle
+
+            def _cpu_sampler():
+                prev_t, prev_i = _read_stat()
+                while not stop_evt.wait(0.5):
+                    cur_t, cur_i = _read_stat()
+                    dt_, di_ = cur_t - prev_t, cur_i - prev_i
+                    if dt_ > 0:
+                        cpu_samples.append(1.0 - di_ / dt_)
+                    prev_t, prev_i = cur_t, cur_i
+
+            sampler = threading.Thread(target=_cpu_sampler, daemon=True)
+            sampler.start()
             t0 = time.perf_counter()
             res = pipe.process_directory(td, out_dir, save_visualizations=False,
                                          progress=False)
             e2e_dt = time.perf_counter() - t0
+            stop_evt.set()
+            sampler.join(timeout=2)
         result["e2e_dir_ips"] = round(len(res.results) / e2e_dt, 2)
+        if cpu_samples:
+            result["e2e_cpu_util"] = {
+                "mean": round(float(np.mean(cpu_samples)), 3),
+                "p90": round(float(np.percentile(cpu_samples, 90)), 3),
+                "n": len(cpu_samples),
+            }
         # host-side wall attribution (decode vs dispatch vs tunnel fetch vs
         # row assembly) — tells us which leg bounds the honest number
         result["e2e_stages"] = getattr(pipe, "last_directory_stats", None)

@@ -940,23 +940,27 @@ def sam_forward_boxes(
 def init_sam_params(rng, cfg: SamTPUConfig, dtype=jnp.float32) -> Params:
     """Random-init parameter pytree (authoritative tree layout).
 
-    Initialization happens on the HOST (numpy): building ~300 leaves with
-    jax.random would trigger one remote XLA compile per op under the TPU
-    tunnel (minutes of cold startup); numpy costs one transfer per leaf.
+    Initialization happens on the HOST and the leaves STAY numpy: building
+    ~300 leaves with jax.random would trigger one remote XLA compile per op
+    under the TPU tunnel (minutes of cold startup), and even per-leaf
+    ``jnp.asarray`` costs ~100 ms of round-trip each there (~50 s for the
+    full tree — the dominant bench startup phase, r3u log). Callers upload
+    in one packed transfer (``pipeline.engine._device_put_packed``) or let
+    jit argument transfer handle it.
     ``rng`` may be a jax PRNGKey (hashed to a seed) or a plain int.
     """
     seed = rng if isinstance(rng, int) else int(np.asarray(rng).sum()) & 0x7FFFFFFF
     nrng = np.random.default_rng(seed)
 
     def randn(*shape, scale=1.0):
-        return jnp.asarray(nrng.normal(0.0, scale, size=shape), dtype=dtype)
+        return nrng.normal(0.0, scale, size=shape).astype(dtype)
 
     def dense(i, o, scale=None):
         s = scale if scale is not None else (1.0 / math.sqrt(i))
-        return {"w": randn(i, o, scale=s), "b": jnp.zeros((o,), dtype)}
+        return {"w": randn(i, o, scale=s), "b": np.zeros((o,), dtype)}
 
     def ln(d):
-        return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+        return {"scale": np.ones((d,), dtype), "bias": np.zeros((d,), dtype)}
 
     c = cfg.vision_hidden
     hd = c // cfg.vision_heads
@@ -969,8 +973,8 @@ def init_sam_params(rng, cfg: SamTPUConfig, dtype=jnp.float32) -> Params:
             "attn": {
                 "qkv": dense(c, 3 * c),
                 "proj": dense(c, c),
-                "rel_pos_h": jnp.zeros((2 * ws - 1, hd), dtype),
-                "rel_pos_w": jnp.zeros((2 * ws - 1, hd), dtype),
+                "rel_pos_h": np.zeros((2 * ws - 1, hd), dtype),
+                "rel_pos_w": np.zeros((2 * ws - 1, hd), dtype),
             },
             "ln2": ln(c),
             "mlp1": dense(c, cfg.vision_mlp_dim),
@@ -984,9 +988,9 @@ def init_sam_params(rng, cfg: SamTPUConfig, dtype=jnp.float32) -> Params:
                 randn(cfg.patch_size, cfg.patch_size, 3, c)
                 * 0.02
             ).astype(dtype),
-            "b": jnp.zeros((c,), dtype),
+            "b": np.zeros((c,), dtype),
         },
-        "pos_embed": jnp.zeros((1, gs, gs, c), dtype),
+        "pos_embed": np.zeros((1, gs, gs, c), dtype),
         "layers": [vis_layer(i) for i in range(cfg.vision_layers)],
         "neck": {
             "conv1_w": (randn(c, oc) * 0.02).astype(dtype),
@@ -1042,10 +1046,10 @@ def init_sam_params(rng, cfg: SamTPUConfig, dtype=jnp.float32) -> Params:
         "final_t2i": dec_attn(dh),
         "ln_final": ln(di),
         "up1_w": (randn(di, di // 4, 2, 2) * 0.02).astype(dtype),
-        "up1_b": jnp.zeros((di // 4,), dtype),
+        "up1_b": np.zeros((di // 4,), dtype),
         "up_ln": ln(di // 4),
         "up2_w": (randn(di // 4, di // 8, 2, 2) * 0.02).astype(dtype),
-        "up2_b": jnp.zeros((di // 8,), dtype),
+        "up2_b": np.zeros((di // 8,), dtype),
         "hyper_mlps": [ff(di, di, di // 8, 3) for _ in range(cfg.num_mask_tokens)],
         "iou_head": ff(di, cfg.iou_head_hidden, cfg.num_mask_tokens, cfg.iou_head_depth),
     }

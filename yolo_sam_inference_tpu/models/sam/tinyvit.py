@@ -87,6 +87,14 @@ def _conv_bn(
             from ...ops.conv2d_fused import conv2d_act
 
             return conv2d_act(x, p["w"], p["b"], k=kh, stride=stride, act=act)
+    elif groups == x.shape[-1] and kh == 3:
+        # CONV2D_FUSED=dotdense: depthwise as k^2 shift-multiply-accumulate
+        # (kills the grouped-conv layout anchor — see ops/conv2d_fused.py)
+        from ...ops.conv2d_fused import dwconv_unrolled, dwconv_unrolled_enabled
+
+        if dwconv_unrolled_enabled():
+            return dwconv_unrolled(x, p["w"], p["b"], k=kh, stride=stride,
+                                   act="gelu" if act == "gelu" else "none")
     y = jax.lax.conv_general_dilated(
         x,
         p["w"],
@@ -400,24 +408,24 @@ def init_tinyvit_params(rng, cfg: TinyViTConfig, dtype=jnp.float32) -> Params:
     def conv(i, o, k=1):
         fan = i * k * k
         return {
-            "w": jnp.asarray(nrng.normal(0, 1 / math.sqrt(fan), (k, k, i, o)), dtype=dtype),
-            "b": jnp.zeros((o,), dtype),
+            "w": nrng.normal(0, 1 / math.sqrt(fan), (k, k, i, o)).astype(dtype),
+            "b": np.zeros((o,), dtype),
         }
 
     def dwconv(c, k=3):
         return {
-            "w": jnp.asarray(nrng.normal(0, 1 / math.sqrt(k * k), (k, k, 1, c)), dtype=dtype),
-            "b": jnp.zeros((c,), dtype),
+            "w": nrng.normal(0, 1 / math.sqrt(k * k), (k, k, 1, c)).astype(dtype),
+            "b": np.zeros((c,), dtype),
         }
 
     def dense(i, o):
         return (
-            jnp.asarray(nrng.normal(0, 1 / math.sqrt(i), (i, o)), dtype=dtype),
-            jnp.zeros((o,), dtype),
+            nrng.normal(0, 1 / math.sqrt(i), (i, o)).astype(dtype),
+            np.zeros((o,), dtype),
         )
 
     def ln(d):
-        return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+        return {"scale": np.ones((d,), dtype), "bias": np.zeros((d,), dtype)}
 
     d0, d1, d2, d3 = cfg.embed_dims
 
@@ -438,7 +446,7 @@ def init_tinyvit_params(rng, cfg: TinyViTConfig, dtype=jnp.float32) -> Params:
             "attn": {
                 "qkv_w": qkv_w, "qkv_b": qkv_b,
                 "proj_w": proj_w, "proj_b": proj_b,
-                "attn_bias": jnp.zeros((heads, (2 * ws - 1) ** 2), dtype),
+                "attn_bias": np.zeros((heads, (2 * ws - 1) ** 2), dtype),
             },
             "local_conv": dwconv(c),
             "ln2": ln(c),
@@ -458,9 +466,9 @@ def init_tinyvit_params(rng, cfg: TinyViTConfig, dtype=jnp.float32) -> Params:
         "merge2": merge(d2, d3),
         "stage3": [block(d3, cfg.num_heads[3], cfg.window_sizes[3]) for _ in range(cfg.depths[3])],
         "neck": {
-            "conv1_w": jnp.asarray(nrng.normal(0, 0.02, (d3, oc)), dtype=dtype),
+            "conv1_w": nrng.normal(0, 0.02, (d3, oc)).astype(dtype),
             "ln1": ln(oc),
-            "conv2_w": jnp.asarray(nrng.normal(0, 0.02, (3, 3, oc, oc)), dtype=dtype),
+            "conv2_w": nrng.normal(0, 0.02, (3, 3, oc, oc)).astype(dtype),
             "ln2": ln(oc),
         },
     }

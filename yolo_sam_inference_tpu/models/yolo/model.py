@@ -197,10 +197,8 @@ def init_yolo_params(rng, cfg: YoloConfig, dtype=jnp.float32) -> Params:
     def conv(i, o, k=1):
         fan = i * k * k
         return {
-            "w": jnp.asarray(
-                nrng.normal(0.0, 1.0 / math.sqrt(fan), size=(k, k, i, o)), dtype=dtype
-            ),
-            "b": jnp.zeros((o,), dtype),
+            "w": nrng.normal(0.0, 1.0 / math.sqrt(fan), size=(k, k, i, o)).astype(dtype),
+            "b": np.zeros((o,), dtype),
         }
 
     def bottleneck(c):

@@ -140,6 +140,16 @@ class PipelineOptions:
     # exact-equivalent s2d rewrite of the two narrow patch-embed stems
     # (same transform as the YOLO backbone prefix, models/yolo/s2d.py)
     tinyvit_stem_s2d: bool = False
+    # Shard the SAM ViT encoder's compute over the mesh, cutting per-image
+    # encoder latency ~n-fold (the ViT-L/H lever the reference cannot
+    # express — it only thread-replicates whole models, pipeline.py:440-467):
+    # "tp" = Megatron head/MLP-hidden weight sharding over the mesh's 'tp'
+    # axis (parallel/tp.py), "sp" = row-wise sequence sharding over 'sp'
+    # (parallel/sp.py). Requires ``mesh`` with the named axis plus a 'dp'
+    # axis (size 1 is fine: make_mesh(dp=1, tp=8) / make_mesh_axes(dp=1,
+    # sp=4)); ViT encoders only. Inference runs stage-composed (the encoder
+    # dominates these configs, so cross-stage fusion is immaterial).
+    encoder_parallel: str = "none"
 
     def encoder_size_for(self, h: int, w: int) -> int:
         if self.sam_encoder_size is not None:
@@ -221,6 +231,9 @@ def _gray_f32(images_u8: jnp.ndarray) -> jnp.ndarray:
     return images_u8.astype(jnp.float32).mean(axis=-1)
 
 
+_gray_jit = jax.jit(_gray_f32)
+
+
 def _pack_csv_outputs(boxes, scores, valid, offs, mets):
     """Concatenate every CSV-needed per-detection output into one fp32
     (B, K, 8 + M) tensor: [boxes(4), scores(1), valid(1), offsets(2),
@@ -236,12 +249,54 @@ def _pack_csv_outputs(boxes, scores, valid, offs, mets):
 
 
 def _cast_floating(tree, dtype):
+    """Cast floating leaves (device OR host-numpy — init trees stay numpy
+    so the cast is a free host op, not ~500 eager device dispatches)."""
     return jax.tree_util.tree_map(
         lambda x: x.astype(dtype)
-        if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating)
+        if isinstance(x, (jnp.ndarray, np.ndarray))
+        and jnp.issubdtype(x.dtype, jnp.floating)
         else x,
         tree,
     )
+
+
+def _device_put_packed(tree):
+    """Upload a (mostly numpy) pytree in ONE host->device transfer per dtype.
+
+    Per-leaf ``jnp.asarray`` pays a fixed round-trip on the tunneled TPU
+    backend (~100 ms x ~500 leaves = the 52 s "pipeline init" phase in the
+    r3u bench log). Instead: concatenate all same-dtype leaves into one flat
+    host buffer, transfer it once, and split it back into per-leaf device
+    arrays inside a single jitted program (slice boundaries are static, so
+    the unpack compiles once per tree signature and persistent-caches).
+    Leaves that are already device arrays pass through untouched.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    by_dtype: Dict[Any, list] = {}
+    for i, x in enumerate(leaves):
+        if isinstance(x, np.ndarray) and not isinstance(x, jnp.ndarray):
+            by_dtype.setdefault(np.dtype(x.dtype), []).append(i)
+    for dt, idxs in by_dtype.items():
+        flat = np.concatenate([leaves[i].reshape(-1) for i in idxs])
+        shapes = tuple(leaves[i].shape for i in idxs)
+        parts = _packed_unpack(shapes, str(dt))(jnp.asarray(flat))
+        for i, p in zip(idxs, parts):
+            leaves[i] = p
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+@functools.lru_cache(maxsize=32)
+def _packed_unpack(shapes, dtype_str):
+    del dtype_str  # cache key only (buffer dtype distinguishes the jit)
+    offs = np.cumsum([0] + [int(np.prod(s, dtype=np.int64)) for s in shapes])
+
+    def unpack(buf):
+        return tuple(
+            jax.lax.slice(buf, (int(offs[j]),), (int(offs[j + 1]),)).reshape(s)
+            for j, s in enumerate(shapes)
+        )
+
+    return jax.jit(unpack)
 
 
 def embed_stage(
@@ -562,6 +617,15 @@ class CellSegmentationPipeline:
                     transform_backbone_params(self.yolo_params),
                     opts.compute_dtype,
                 )
+            if self.mesh is None:
+                # init trees are host-numpy: move everything to device in one
+                # packed transfer per dtype (per-leaf puts cost ~100 ms of
+                # round-trip each on the tunneled backend)
+                sam_params, yolo_params_c, yolo_s2d = (
+                    jax.device_put((sam_params, yolo_params_c, yolo_s2d))
+                    if jax.default_backend() == "cpu"
+                    else _device_put_packed((sam_params, yolo_params_c, yolo_s2d))
+                )
             if self.mesh is not None:
                 # replicate weights across the mesh once; sharded image
                 # inputs then make every jitted stage an SPMD program
@@ -595,21 +659,46 @@ class CellSegmentationPipeline:
                 mets = metrics_stage(crops, offs, gray, (h, w), opts)
                 return boxes, scores, valid, crops, offs, mets
 
+            fused_jit = jax.jit(fused)
+            fused_many = jax.jit(
+                lambda yp, sp, imgs: jax.lax.map(
+                    lambda im: fused(yp, sp, im), imgs
+                )
+            )
+            if opts.encoder_parallel != "none":
+                # tp/sp-sharded SAM encoder (PipelineOptions.encoder_parallel):
+                # the encoder stage routes through the parallel/ runners
+                # (their shard_map programs carry their own jit + sharding);
+                # the surrounding stages stay dp-sharded jits and "fused"
+                # becomes their composition — at ViT-L/H scale the encoder is
+                # ~95% of the program, so cross-stage fusion is immaterial.
+                embed = self._parallel_embed(scfg, opts, sam_params)
+
+                def fused_staged(yp, sp, img):
+                    boxes, scores, valid = detect(yp, img)
+                    emb = embed(sp, img)
+                    crops, offs = segment(sp, emb, boxes, valid)
+                    mets = metrics(crops, offs, _gray_jit(img))
+                    return boxes, scores, valid, crops, offs, mets
+
+                fused_jit = fused_staged
+                fused_many = lambda yp, sp, imgs: jax.tree_util.tree_map(
+                    lambda *outs: jnp.stack(outs),
+                    *[fused_staged(yp, sp, imgs[i])
+                      for i in range(imgs.shape[0])],
+                )
+
             self._stage_cache[key] = {
                 "detect": detect,
                 "embed": embed,
                 "segment": segment,
                 "metrics": metrics,
-                "fused": jax.jit(fused),
+                "fused": fused_jit,
                 # N batches per dispatch (lax.map over the leading axis):
                 # per-dispatch host/tunnel overhead measured ~3.3 ms against
                 # ~254 ms of device work per batch — chunking recovers that
                 # last ~1.3% for saturated streams
-                "fused_many": jax.jit(
-                    lambda yp, sp, imgs: jax.lax.map(
-                        lambda im: fused(yp, sp, im), imgs
-                    )
-                ),
+                "fused_many": fused_many,
                 # device-side bitpack: mask crops cross the link at 1 bit/px
                 # instead of 1 byte/px (the d2h transfer is the stage path's
                 # second-largest cost on the tunneled backend)
@@ -624,6 +713,57 @@ class CellSegmentationPipeline:
                 "yolo_params": yolo_params_c,
             }
         return self._stage_cache[key]
+
+    def _parallel_embed(self, scfg: SamTPUConfig, opts: PipelineOptions,
+                        sam_params):
+        """Embed-stage callable for ``PipelineOptions.encoder_parallel``:
+        preprocess (jitted, dp-sharded) -> tp/sp shard_map encoder runner
+        (parallel/tp.py / parallel/sp.py — parity-tested against the
+        single-device encoder on the virtual mesh)."""
+        enc_par = opts.encoder_parallel
+        if enc_par not in ("tp", "sp"):
+            raise ValueError(
+                f"encoder_parallel must be 'none', 'tp' or 'sp', got {enc_par!r}"
+            )
+        if self.mesh is None or enc_par not in self.mesh.axis_names:
+            raise ValueError(
+                f"encoder_parallel={enc_par!r} requires a mesh with a "
+                f"{enc_par!r} axis (e.g. parallel.mesh.make_mesh(dp=1, tp=N) "
+                "or make_mesh_axes(dp=1, sp=N))"
+            )
+        if "vision" not in sam_params:
+            raise ValueError(
+                "encoder_parallel supports ViT SAM encoders only (TinyViT's "
+                "conv stages have no tp/sp sharding)"
+            )
+        mesh = self.mesh
+        pre = jax.jit(
+            lambda img: sam_preprocess_batch(_ensure_rgb(img), scfg.image_size)[
+                0
+            ].astype(opts.compute_dtype)
+        )
+        to_f32 = jax.jit(lambda e: e.astype(jnp.float32))
+        if enc_par == "tp":
+            from ..parallel.tp import sam_image_encoder_tp, shard_sam_encoder_tp
+
+            tp_params, tp_specs = shard_sam_encoder_tp(sam_params, scfg, mesh)
+
+            def embed(_sam_params, img):
+                return to_f32(
+                    sam_image_encoder_tp(tp_params, tp_specs, pre(img), scfg, mesh)
+                )
+
+        else:
+            from ..parallel.sp import sam_image_encoder_sp, shard_sam_encoder_sp
+
+            sp_params = shard_sam_encoder_sp(sam_params, scfg, mesh)
+
+            def embed(_sam_params, img):
+                return to_f32(
+                    sam_image_encoder_sp(sp_params, pre(img), scfg, mesh)
+                )
+
+        return embed
 
     # -- array-level API -------------------------------------------------------
 
