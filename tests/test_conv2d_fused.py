@@ -174,3 +174,63 @@ def test_sam_encoder_patchify_dot():
     ) + p["patch_embed"]["b"]
     np.testing.assert_allclose(np.asarray(new), np.asarray(want), atol=1e-4, rtol=1e-4)
     assert got.shape == (1, gs, gs, cfg.output_channels)
+
+
+@pytest.mark.parametrize("k,stride,act", [
+    (3, 1, "none"), (3, 1, "silu"), (3, 2, "gelu"), (2, 1, "silu"),
+])
+def test_conv_unrolled_dot_parity(k, stride, act):
+    """CONV2D_FUSED=dotdense dense rewrite (k^2 strided slices + one dot)
+    equals lax.conv for every pipeline geometry."""
+    from yolo_sam_inference_tpu.ops.conv2d_fused import conv_unrolled_dot
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 12, 20, 6)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, k, 6, 10)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(10,)).astype(np.float32))
+    got = conv_unrolled_dot(x, w, b, k=k, stride=stride, act=act)
+    want = _ref(x, w, b, k, stride, act)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), atol=3e-4, rtol=1e-3
+    )
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_dwconv_unrolled_parity(stride):
+    """Depthwise shift-multiply rewrite equals the grouped lax.conv."""
+    from yolo_sam_inference_tpu.ops.conv2d_fused import dwconv_unrolled
+
+    rng = np.random.default_rng(4)
+    c = 8
+    x = jnp.asarray(rng.normal(size=(2, 12, 16, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 1, c)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    got = dwconv_unrolled(x, w, b, k=3, stride=stride)
+    want = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    ) + b
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_dotdense_mode_gates(monkeypatch):
+    """Mode 'dotdense' enables every k and drops the width/channel
+    alignment requirements of the Pallas kernels."""
+    monkeypatch.setattr(conv2d_fused, "_MODE", "dotdense")
+    monkeypatch.setattr(
+        "yolo_sam_inference_tpu.ops.mosaic_backend", lambda: True
+    )
+    assert conv2d_fused.conv2d_fused_enabled(3)
+    assert conv2d_fused.dwconv_unrolled_enabled()
+    # odd widths / odd channels are fine for the dot rewrite
+    assert conv2d_supported((1, 13, 17, 3), 3, 1)
+    assert conv2d_supported((1, 13, 17, 3), 3, 2)
+    assert conv2d_supported((1, 13, 17, 3), 2, 1)
+    assert not conv2d_supported((1, 13, 17, 3), 2, 2)
+    # dot mode leaves dense convs on XLA
+    monkeypatch.setattr(conv2d_fused, "_MODE", "dot")
+    assert not conv2d_fused.conv2d_fused_enabled(3)
+    assert not conv2d_fused.dwconv_unrolled_enabled()

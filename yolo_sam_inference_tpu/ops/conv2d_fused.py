@@ -80,8 +80,14 @@ from .fused_ln import _erf_as
 # XLA's conv emitter beats the strip kernels even after paying its
 # batch-minor relayout copies, and the copies largely survive anyway
 # because the unsupported-geometry fallback convs keep the layout anchors
-# alive), and "0" (XLA convs everywhere — the measured r3p/r3q control;
-# see BENCH_NOTES.md session 10).
+# alive), "dotdense" (NO `convolution` op anywhere: k>1 dense convs unroll
+# into k^2 strided slices + concat + ONE dot_general, depthwise convs into
+# k^2 shift-multiply-accumulates — the r4 test of the VERDICT-r3 hypothesis
+# that the ~9 ms batch-minor relayout bucket dies only when every conv
+# layout anchor is gone; the im2row *kernel* family lost in r3p, this is
+# the *dot-rewrite* family that won in r3q, extended to k>1), and "0" (XLA
+# convs everywhere — the measured r3p/r3q control; see BENCH_NOTES.md
+# session 10).
 _MODE = os.environ.get("CONV2D_FUSED", "dot")
 
 _VMEM_BUDGET = 5_000_000
@@ -90,22 +96,25 @@ _VMEM_BUDGET = 5_000_000
 def conv2d_fused_enabled(k: int = 1) -> bool:
     """True when :func:`conv2d_act` should replace the XLA conv for this k.
 
-    Mode "1" enables every geometry; "dot" only the k==1 dot path (no
-    Pallas kernel — the point is just to stop emitting `convolution` ops);
-    "0" (default) none."""
+    Mode "1" enables every geometry (Pallas strip kernels); "dotdense"
+    every k through the conv-free dot rewrites; "dot" only the k==1 dot
+    path (no Pallas kernel — the point is just to stop emitting
+    `convolution` ops); "0" none."""
     from . import mosaic_backend
 
     if _MODE == "0" or not mosaic_backend():
         return False
-    return _MODE == "1" or k == 1
+    return _MODE in ("1", "dotdense") or k == 1
 
 
-def _apply_act(y: jnp.ndarray, act: str) -> jnp.ndarray:
-    """Activation on the fp32 accumulator."""
+def _apply_act(y: jnp.ndarray, act: str, fast_recip: bool = True) -> jnp.ndarray:
+    """Activation on the fp32 accumulator. ``fast_recip=False`` for paths
+    that may run outside Pallas on CPU (the approx-reciprocal primitive
+    only lowers on TPU)."""
     if act == "silu":
         return y * jax.nn.sigmoid(y)
     if act == "gelu":
-        return y * 0.5 * (1.0 + _erf_as(y * (2.0 ** -0.5), fast_recip=True))
+        return y * 0.5 * (1.0 + _erf_as(y * (2.0 ** -0.5), fast_recip=fast_recip))
     return y
 
 
@@ -117,6 +126,103 @@ def conv1x1_act(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, act: str) -> jnp
         preferred_element_type=jnp.float32,
     ) + b.astype(jnp.float32)
     return _apply_act(y, act).astype(x.dtype)
+
+
+def _dense_pad(k: int, stride: int):
+    """(pad_lo, pad_hi) per spatial dim for the pipeline's conv geometries:
+    k=3 is 'same' (1, 1); k=2 is the s2d native-out downsample's (1, 0)
+    (models/yolo/s2d.py _block_geometry)."""
+    if k == 3:
+        return 1, 1
+    if k == 2:
+        return 1, 0
+    return 0, 0
+
+
+def conv_unrolled_dot(
+    x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+    k: int, stride: int, act: str,
+) -> jnp.ndarray:
+    """Dense KxK conv as k^2 strided slices + channel concat + ONE dot.
+
+    Emits zero `convolution` ops: tap (dh, dw) of the im2row is a strided
+    slice of the padded input, the k^2 taps concatenate on channels in
+    (dh, dw)-major order — exactly the flattening of the HWIO weight's
+    leading dims — and one ``dot_general`` against ``w.reshape(k*k*Ci,
+    Co)`` contracts them all. XLA lowers slices/concat/dot with standard
+    layouts (no batch-minor conv layout anchor) and fuses bias+act into
+    the dot consumer. The concat materializes k^2 x the input bytes; at
+    the stem/downsample shapes this is a few MB per image — HBM traffic
+    the conv pays anyway via its window reads.
+    """
+    bsz, h, wid, ci = x.shape
+    co = w.shape[-1]
+    pl_, ph_ = _dense_pad(k, stride)
+    xp = jnp.pad(x, ((0, 0), (pl_, ph_), (pl_, ph_), (0, 0)))
+    hp, wp = h + pl_ + ph_, wid + pl_ + ph_
+    ho = (hp - k) // stride + 1
+    wo = (wp - k) // stride + 1
+    taps = [
+        jax.lax.slice(
+            xp,
+            (0, dh, dw, 0),
+            (bsz, dh + (ho - 1) * stride + 1, dw + (wo - 1) * stride + 1, ci),
+            (1, stride, stride, 1),
+        )
+        for dh in range(k)
+        for dw in range(k)
+    ]
+    cat = jnp.concatenate(taps, axis=-1)  # (B, Ho, Wo, k*k*Ci)
+    y = jax.lax.dot_general(
+        cat, w.astype(x.dtype).reshape(k * k * ci, co),
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b.astype(jnp.float32)
+    from . import mosaic_backend
+
+    return _apply_act(y, act, fast_recip=mosaic_backend()).astype(x.dtype)
+
+
+def dwconv_unrolled(
+    x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+    k: int, stride: int, act: str = "none",
+) -> jnp.ndarray:
+    """Depthwise KxK conv as k^2 shift-multiply-accumulates (no conv op).
+
+    ``w``: (k, k, 1, C) HWIO depthwise weights. Each tap is a strided slice
+    scaled by its per-channel weight row — pure elementwise VPU work that
+    XLA fuses into one pass; like :func:`conv_unrolled_dot` this removes
+    the grouped-conv layout anchor from the program.
+    """
+    bsz, h, wid, c = x.shape
+    pl_, ph_ = _dense_pad(k, stride)
+    xp = jnp.pad(x, ((0, 0), (pl_, ph_), (pl_, ph_), (0, 0)))
+    hp, wp = h + pl_ + ph_, wid + pl_ + ph_
+    ho = (hp - k) // stride + 1
+    wo = (wp - k) // stride + 1
+    acc = None
+    for dh in range(k):
+        for dw in range(k):
+            tap = jax.lax.slice(
+                xp,
+                (0, dh, dw, 0),
+                (bsz, dh + (ho - 1) * stride + 1, dw + (wo - 1) * stride + 1, c),
+                (1, stride, stride, 1),
+            ).astype(jnp.float32)
+            term = tap * w[dh, dw, 0].astype(jnp.float32)
+            acc = term if acc is None else acc + term
+    y = acc + b.astype(jnp.float32)
+    from . import mosaic_backend
+
+    return _apply_act(y, act, fast_recip=mosaic_backend()).astype(x.dtype)
+
+
+def dwconv_unrolled_enabled() -> bool:
+    """True when depthwise convs should route through
+    :func:`dwconv_unrolled` (mode "dotdense" only)."""
+    from . import mosaic_backend
+
+    return _MODE == "dotdense" and mosaic_backend()
 
 
 def _dot2d(lhs, w2):
@@ -286,6 +392,10 @@ def conv2d_supported(x_shape, k: int, stride: int) -> bool:
         return True
     if k not in (2, 3) or stride not in (1, 2):
         return False
+    if _MODE == "dotdense":
+        # the dot rewrite has no width/channel alignment requirements —
+        # only the two padding geometries the pipeline uses
+        return stride == 1 or k == 3
     if ci % 2 or w % 16 or w < 16:
         return False
     if stride == 2:
@@ -330,6 +440,8 @@ def conv2d_act(
         raise ValueError(f"unsupported conv2d_act geometry {x.shape} k={k} s={stride}")
     if k == 1 and stride == 1:
         return conv1x1_act(x, w[0, 0], b, act)
+    if _MODE == "dotdense":
+        return conv_unrolled_dot(x, w, b, k, stride, act)
     from . import mosaic_backend
 
     interpret = interpret or not mosaic_backend()
