@@ -67,3 +67,25 @@ def test_streaming_forms_full_batches_across_chunks(tmp_path, rng):
     assert len(fulls) >= 2  # 12 of each shape -> at least one full batch each
     total = sum(b[2] for b in batches)
     assert total == 24
+
+
+def test_process_pool_decode_matches_inline(tmp_path, monkeypatch):
+    """E2E_DECODE_PROCS=N decodes through a process pool with identical
+    batches (the multi-core-host knob; threads can't scale PIL's
+    GIL-holding PNG decode)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    files = []
+    for i in range(6):
+        img = rng.integers(0, 255, size=(32, 40), dtype=np.uint8)
+        p = tmp_path / f"i{i}.png"
+        Image.fromarray(img).save(p)
+        files.append(p)
+    inline = list(batched_image_loader(files, batch_size=4))
+    monkeypatch.setenv("E2E_DECODE_PROCS", "2")
+    pooled = list(batched_image_loader(files, batch_size=4))
+    assert len(pooled) == len(inline)
+    for (bi, pi, ni, _), (bp, pp, np_, _) in zip(inline, pooled):
+        np.testing.assert_array_equal(bi, bp)
+        assert pi == pp and ni == np_

@@ -327,3 +327,37 @@ def test_project_tree_fixture(tmp_path):
 # heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
 # quick loop with `pytest -m "not slow" tests/`
 pytestmark = pytest.mark.slow
+
+
+def test_device_put_packed_roundtrip():
+    """_device_put_packed: one transfer per dtype, leaves come back exact —
+    mixed dtypes, None leaves, and already-on-device leaves pass through."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_sam_inference_tpu.pipeline.engine import _device_put_packed
+
+    rng = np.random.default_rng(0)
+    dev = jnp.arange(6.0).reshape(2, 3)
+    tree = {
+        "a": rng.normal(size=(3, 4)).astype(np.float32),
+        "b": {"w": rng.normal(size=(2, 2, 2)).astype(np.float32),
+              "bf": rng.normal(size=(5,)).astype(jnp.bfloat16),
+              "i": np.arange(7, dtype=np.int32),
+              "none": None},
+        "dev": dev,
+    }
+    out = _device_put_packed(tree)
+    assert isinstance(out["a"], jax.Array)
+    np.testing.assert_array_equal(np.asarray(out["a"]), tree["a"])
+    np.testing.assert_array_equal(
+        np.asarray(out["b"]["w"]), tree["b"]["w"])
+    np.testing.assert_array_equal(
+        np.asarray(out["b"]["bf"], np.float32),
+        np.asarray(tree["b"]["bf"], np.float32))
+    np.testing.assert_array_equal(np.asarray(out["b"]["i"]), tree["b"]["i"])
+    assert out["b"]["none"] is None
+    assert out["dev"] is dev  # device leaves untouched
+    # shapes/dtypes preserved
+    assert out["b"]["bf"].dtype == jnp.bfloat16
+    assert out["b"]["i"].dtype == jnp.int32

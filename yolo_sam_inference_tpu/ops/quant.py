@@ -32,13 +32,24 @@ import jax
 import jax.numpy as jnp
 
 
-def quantize_weight(w: jnp.ndarray):
+def quantize_weight(w):
     """Symmetric per-output-channel int8 quantization of an (in, out) weight.
 
     Returns ``(wq int8 (in, out), scale fp32 (out,))`` with
     ``w ~= wq * scale``. Zero columns get scale 1 (wq is all-zero there, so
-    any finite scale reproduces them exactly).
+    any finite scale reproduces them exactly). Host-numpy inputs quantize
+    in numpy (init trees stay on the host until the engine's packed
+    upload — per-leaf eager device ops cost ~100 ms each on the tunneled
+    backend); the numpy and jnp paths are numerically identical.
     """
+    import numpy as np
+
+    if isinstance(w, np.ndarray) and not isinstance(w, jnp.ndarray):
+        w32 = w.astype(np.float32)
+        amax = np.max(np.abs(w32), axis=0)
+        scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        wq = np.clip(np.round(w32 / scale), -127, 127).astype(np.int8)
+        return wq, scale
     w32 = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(w32), axis=0)  # (out,)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)

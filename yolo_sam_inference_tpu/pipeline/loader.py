@@ -73,16 +73,31 @@ def batched_image_loader(
     skipped: List[str] = []
     # single-worker pools measured ~2.4 ms/img of pure queue/switch overhead
     # on a 1-core host (vs 6.3 ms of actual decode) — decode inline instead;
-    # process_directory's prefetch thread still overlaps device compute
+    # process_directory's prefetch thread still overlaps device compute.
+    # E2E_DECODE_PROCS=N opts into a PROCESS pool: PIL's PNG decode holds
+    # the GIL, so on a multi-core host threads cannot scale past ~1 decode
+    # at a time while processes decode truly concurrently (pickle cost is
+    # one (H, W) uint8 array per image — small next to the decode). On the
+    # 1-vCPU bench host this is a no-op-to-negative knob; it exists for
+    # production hosts with cores to spend (see BENCH_NOTES e2e scaling
+    # model).
+    import os as _os
     from contextlib import nullcontext
 
-    pool_cm = (
-        ThreadPoolExecutor(max_workers=num_workers)
-        if num_workers > 1
-        else nullcontext()
-    )
+    n_procs = int(_os.environ.get("E2E_DECODE_PROCS", "0"))
+    if n_procs > 0:
+        from concurrent.futures import ProcessPoolExecutor
+
+        pool_cm = ProcessPoolExecutor(max_workers=n_procs)
+    elif num_workers > 1:
+        pool_cm = ThreadPoolExecutor(max_workers=num_workers)
+    else:
+        pool_cm = nullcontext()
     with pool_cm as pool:
-        decode = pool.map if num_workers > 1 else map
+        if n_procs > 0:
+            decode = lambda fn, it: pool.map(fn, it, chunksize=8)
+        else:
+            decode = pool.map if num_workers > 1 else map
         # Yield each batch the moment it fills (NOT after the whole decode
         # chunk): the consumer's first dispatch happens after batch_size
         # decodes instead of chunk_files — decoding a full 4-batch chunk
