@@ -173,3 +173,26 @@ def test_decoder_softmax_bf16_logits_bound():
 # heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
 # quick loop with `pytest -m "not slow" tests/`
 pytestmark = pytest.mark.slow
+
+
+def test_resize_linear_np_matches_jax_image():
+    """adapt_resolution's host-numpy resampler == jax.image.resize
+    (half-pixel centers + antialiased triangle filter on downsample) —
+    the r4 numpy-init change must not move adapted-weight numerics."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_sam_inference_tpu.models.sam.convert import _resize_linear_np
+
+    rng = np.random.default_rng(0)
+    for (inl, outl) in [(27, 31), (127, 31), (64, 32), (31, 127)]:
+        t = rng.normal(size=(inl, 16)).astype(np.float32)
+        want = np.asarray(
+            jax.image.resize(jnp.asarray(t), (outl, 16), method="linear"))
+        got = _resize_linear_np(t, outl, axis=0)
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+    pos = rng.normal(size=(1, 64, 64, 8)).astype(np.float32)
+    want = np.asarray(jax.image.resize(
+        jnp.asarray(pos), (1, 32, 32, 8), method="bilinear"))
+    got = _resize_linear_np(_resize_linear_np(pos, 32, axis=1), 32, axis=2)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)

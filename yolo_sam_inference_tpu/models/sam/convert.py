@@ -330,6 +330,32 @@ def is_mobilesam_state_dict(sd: Mapping[str, Any]) -> bool:
     return "image_encoder.patch_embed.seq.0.c.weight" in sd
 
 
+
+
+def _resize_linear_np(a: "np.ndarray", out_len: int, axis: int) -> "np.ndarray":
+    """1-D linear resample along ``axis``, numerically matching
+    ``jax.image.resize(method="linear")``: half-pixel sampling centers,
+    and an antialiasing triangle filter whose support scales with the
+    downsampling factor (upsampling reduces to standard 2-tap linear —
+    the F.interpolate align_corners=False convention HF SAM uses for
+    rel-pos tables). Host numpy so adapted init trees never touch the
+    device before the engine's packed upload."""
+    a = np.asarray(a)
+    in_len = a.shape[axis]
+    if in_len == out_len:
+        return a
+    scale = in_len / out_len
+    kernel_scale = max(scale, 1.0)  # antialias on downsample only
+    centers = (np.arange(out_len, dtype=np.float64) + 0.5) * scale - 0.5
+    j = np.arange(in_len, dtype=np.float64)
+    w = 1.0 - np.abs(j[None, :] - centers[:, None]) / kernel_scale
+    w = np.clip(w, 0.0, None)
+    w /= w.sum(axis=1, keepdims=True)
+    a_m = np.moveaxis(a, axis, 0).astype(np.float32)
+    out = np.tensordot(w.astype(np.float32), a_m, axes=(1, 0))
+    return np.moveaxis(out, 0, axis).astype(a.dtype)
+
+
 def adapt_resolution(params: Dict[str, Any], cfg_to: SamTPUConfig) -> Dict[str, Any]:
     """Adapt SAM params to a different encoder input resolution.
 
@@ -343,26 +369,29 @@ def adapt_resolution(params: Dict[str, Any], cfg_to: SamTPUConfig) -> Dict[str, 
       (the same semantics as the runtime ``get_rel_pos`` interpolation in
       the public SAM implementations);
     * windowed layers keep their window-sized tables unchanged.
-    """
-    import jax
-    import jax.numpy as jnp
 
+    Runs entirely in host numpy (half-pixel-centers convention — identical
+    to ``jax.image.resize`` linear/bilinear and F.interpolate
+    align_corners=False; equality tested in tests/test_sam_parity.py):
+    init trees stay on the host until the engine's one packed upload, and
+    ~25 eager device resizes would each pay a tunnel round-trip.
+    """
     gs_to = cfg_to.grid_size
     params = dict(params)
     vision = dict(params["vision"])
-    pos = jnp.asarray(vision["pos_embed"])
+    pos = np.asarray(vision["pos_embed"])
     if pos.shape[1] != gs_to:
-        vision["pos_embed"] = jax.image.resize(
-            pos, (1, gs_to, gs_to, pos.shape[-1]), method="bilinear"
+        vision["pos_embed"] = _resize_linear_np(
+            _resize_linear_np(pos, gs_to, axis=1), gs_to, axis=2
         )
 
     def interp_rel(table, size):
-        table = jnp.asarray(table)
+        table = np.asarray(table)
         length = 2 * size - 1
         if table.shape[0] == length:
             return table
         # linear interpolation along the first axis (F.interpolate 'linear')
-        return jax.image.resize(table, (length, table.shape[1]), method="linear")
+        return _resize_linear_np(table, length, axis=0)
 
     layers = []
     for i, lp in enumerate(vision["layers"]):
