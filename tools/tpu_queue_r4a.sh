@@ -29,11 +29,14 @@ done
 echo "RELAY OK $(date)" >> "$LOG"
 sleep 120
 
-leg() {  # leg <name> <timeout> <cmd...>
+leg() {  # leg <name> <timeout> <cmd...>  (no /usr/bin/time in this image —
+  # wall time comes from the SECONDS delta)
   local name=$1 tmo=$2; shift 2
   echo "--- leg $name start $(date) ---" >> "$LOG"
-  /usr/bin/time -f "leg $name wall=%es" timeout "$tmo" "$@" >> "$LOG" 2>&1
-  echo "leg $name rc=$? $(date)" >> "$LOG"
+  local t0=$SECONDS
+  timeout "$tmo" "$@" >> "$LOG" 2>&1
+  local rc=$?
+  echo "leg $name rc=$rc wall=$((SECONDS - t0))s $(date)" >> "$LOG"
   sleep 120
 }
 
