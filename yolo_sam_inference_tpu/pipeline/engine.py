@@ -517,8 +517,10 @@ class CellSegmentationPipeline:
     # -- model loading -------------------------------------------------------
 
     def _initialize_models(self, yolo_path, sam_ckpt, seed: int) -> None:
-        rng = jax.random.PRNGKey(seed)
-        ry, rs = jax.random.split(rng)
+        # plain int sub-seeds: jax.random.PRNGKey/split are DEVICE ops —
+        # two compiles + transfers through the tunnel before any real work
+        # (init stays host-side end to end; see _device_put_packed)
+        ry, rs = 2 * seed, 2 * seed + 1
         if yolo_path and Path(yolo_path).exists():
             from ..models.yolo import load_yolo_params
 
