@@ -123,10 +123,13 @@ def _run_bench() -> None:
     # microscopy TIFFs — the e2e directory path exploits this (1-channel
     # host->device transfer); the fused number below still transfers and
     # computes full RGB.
-    gray = (rng.normal(40, 5, size=(batch, size, size))).clip(0, 255)
+    # one noise field, rolled per image: drawing batch*size*size fresh
+    # gaussians cost ~6 s of the startup budget (r4a leg 2 phase table) for
+    # values the fixed-shape device program never depends on
+    base = rng.normal(40, 5, size=(size, size)).clip(0, 255)
+    gray = np.stack([np.roll(base, 17 * b, axis=0) for b in range(batch)])
     # each blob only touches its bounding box — the full-canvas mask per blob
-    # cost ~7 s of the startup budget (r4 phase log); same RNG draw order, so
-    # the images are bit-identical to the full-canvas version
+    # cost ~7 s of the startup budget (r4 phase log)
     for b in range(batch):
         for _ in range(8):
             cy, cx = rng.uniform(30, size - 30, 2)
@@ -324,11 +327,13 @@ def main() -> None:
         return _run_bench()
 
     # the r2 driver killed the bench at an (unknown) budget somewhere under
-    # ~330s; 150s + kill-grace + startup keeps the parent's print comfortably
-    # inside that while the live child realistically needs 240s+ through the
-    # remote tunnel anyway — the persisted last-good result is the de-facto
-    # record path on this harness, and it is itself a real measurement
-    budget = float(os.environ.get("BENCH_BUDGET", "150"))
+    # ~330s; 200s + kill-grace(15) + startup keeps the parent's print under
+    # ~235s — inside that ceiling with margin, while giving the live child
+    # room for a congested-relay executable load (queue r4a leg 3: a warm
+    # CACHE HIT took >130s through the tunnel, so 150s killed a live run
+    # that would have landed). The persisted last-good result remains the
+    # fallback when even 200s isn't enough.
+    budget = float(os.environ.get("BENCH_BUDGET", "200"))
     t0 = time.time()
     env = dict(os.environ)
     # test seam: tests/test_bench_watchdog.py substitutes a scripted child

@@ -19,8 +19,10 @@ def test_entry_module_small_and_deterministic():
     import __graft_entry__ as g
 
     fn, args = g.entry()
-    # weights travel as arguments (pytrees), image last
-    assert len(args) == 3, "expected (yolo_params, sam_params, images)"
+    # weights travel as arguments (pytrees), image last; the s2d tree is
+    # an argument too (a closure capture baked weight VALUES into the HLO,
+    # so every seed produced a new cache key — queue r4a leg 2)
+    assert len(args) == 4, "expected (yolo_params, sam_params, yolo_s2d, images)"
     traced = jax.jit(fn).trace(*args)
     text = traced.lower(lowering_platforms=("tpu",)).as_text()
     assert len(text) < 20_000_000, (

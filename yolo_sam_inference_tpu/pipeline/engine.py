@@ -640,9 +640,16 @@ class CellSegmentationPipeline:
                 if yolo_s2d is not None:
                     yolo_s2d = jax.tree_util.tree_map(put, yolo_s2d)
 
-            detect = jax.jit(
-                lambda yp, img: detect_stage(yp, img, ycfg, opts, yolo_s2d)
+            # yolo_s2d rides as an ARGUMENT, never a closure capture:
+            # closed-over weight arrays bake into the HLO as constants, so
+            # every new random init produced a different cache key — a
+            # fresh ~190 s remote compile of the same program (queue r4a
+            # leg 2). As an argument the HLO is value-independent and the
+            # persistent cache hits across processes and seeds.
+            detect_core = jax.jit(
+                lambda yp, s2d, img: detect_stage(yp, img, ycfg, opts, s2d)
             )
+            detect = lambda yp, img: detect_core(yp, yolo_s2d, img)
             embed = jax.jit(lambda sp, img: embed_stage(sp, img, scfg, opts))
             segment = jax.jit(
                 lambda sp, emb, boxes, val: segment_stage(
@@ -653,19 +660,23 @@ class CellSegmentationPipeline:
                 lambda crops, offs, gray: metrics_stage(crops, offs, gray, (h, w), opts)
             )
 
-            def fused(yp, sp, img):
-                boxes, scores, valid = detect_stage(yp, img, ycfg, opts, yolo_s2d)
+            def fused_core_fn(yp, sp, s2d, img):
+                boxes, scores, valid = detect_stage(yp, img, ycfg, opts, s2d)
                 emb = embed_stage(sp, img, scfg, opts)
                 crops, offs = segment_stage(sp, emb, boxes, valid, (h, w), scfg, opts)
                 gray = _gray_f32(img)
                 mets = metrics_stage(crops, offs, gray, (h, w), opts)
                 return boxes, scores, valid, crops, offs, mets
 
-            fused_jit = jax.jit(fused)
-            fused_many = jax.jit(
-                lambda yp, sp, imgs: jax.lax.map(
-                    lambda im: fused(yp, sp, im), imgs
+            fused_core = jax.jit(fused_core_fn)
+            fused_jit = lambda yp, sp, img: fused_core(yp, sp, yolo_s2d, img)
+            fused_many_core = jax.jit(
+                lambda yp, sp, s2d, imgs: jax.lax.map(
+                    lambda im: fused_core_fn(yp, sp, s2d, im), imgs
                 )
+            )
+            fused_many = lambda yp, sp, imgs: fused_many_core(
+                yp, sp, yolo_s2d, imgs
             )
             if opts.encoder_parallel != "none":
                 # tp/sp-sharded SAM encoder (PipelineOptions.encoder_parallel):
@@ -713,6 +724,10 @@ class CellSegmentationPipeline:
                 "pack_csv": jax.jit(_pack_csv_outputs),
                 "sam_params": sam_params,
                 "yolo_params": yolo_params_c,
+                # constant-free jittable core + the bound s2d tree, for
+                # callers (e.g. __graft_entry__) that need the pure fn
+                "fused_core": fused_core,
+                "yolo_s2d": yolo_s2d,
             }
         return self._stage_cache[key]
 
