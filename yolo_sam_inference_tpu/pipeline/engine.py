@@ -981,13 +981,24 @@ class CellSegmentationPipeline:
         image_paths: Sequence[Union[str, Path]],
         n_valid_images: int,
     ) -> List[ProcessingResult]:
+        # one vectorized pass per metric key instead of a numpy scalar
+        # extraction per (cell, key) — the row-assembly half of the e2e
+        # path's host budget (B*K*17 float() calls per batch)
+        valid = np.asarray(out["valid"][:n_valid_images], dtype=bool)
+        cols = {}
+        for key in METRIC_KEYS:
+            arr = out["metrics"][key][:n_valid_images]
+            if key in INT_METRIC_KEYS:
+                cols[key] = np.round(arr).astype(np.int64)
+            else:
+                cols[key] = np.asarray(arr, dtype=np.float64)
         results = []
         for i in range(n_valid_images):
-            valid = out["valid"][i]
+            kidx = np.flatnonzero(valid[i])
+            per_key = {key: cols[key][i, kidx].tolist() for key in METRIC_KEYS}
             cell_metrics = [
-                self._metrics_row(out["metrics"], i, k)
-                for k in range(valid.shape[0])
-                if valid[k]
+                {key: per_key[key][j] for key in METRIC_KEYS}
+                for j in range(len(kidx))
             ]
             results.append(
                 ProcessingResult(
