@@ -121,3 +121,73 @@ def test_runner_quant_flag_plumbs():
     )
     assert b.quant == "int8"
     assert PipelineOptions(quant="int8").quant == "int8"
+
+
+def test_cv2_roi_picker_interaction(tmp_path, monkeypatch):
+    """Legacy picker parity (reference example_project_inference.py:226-262):
+    two clicks -> (min, max), 'r' resets, 'c' confirms — driven through a
+    scripted cv2 stub (no display in this environment)."""
+    import sys
+    import types
+
+    import numpy as np
+    from PIL import Image
+
+    img_path = tmp_path / "frame.png"
+    Image.fromarray(np.zeros((20, 40), np.uint8)).save(img_path)
+
+    stub = types.SimpleNamespace()
+    stub.EVENT_LBUTTONDOWN = 1
+    state = {"cb": None, "keys": None}
+
+    stub.imread = lambda p: np.zeros((20, 40, 3), np.uint8)
+    stub.namedWindow = lambda name: None
+    stub.line = lambda *a, **k: None
+    stub.imshow = lambda *a, **k: None
+    stub.destroyAllWindows = lambda: None
+
+    def set_cb(name, cb):
+        state["cb"] = cb
+
+    stub.setMouseCallback = set_cb
+
+    def wait_key(ms):
+        return next(state["keys"])
+
+    stub.waitKey = wait_key
+
+    def keyscript():
+        cb = state["cb"]
+        cb(stub.EVENT_LBUTTONDOWN, 30, 5, 0, None)   # click x=30
+        yield 0xFF & 0  # no-op key
+        cb(stub.EVENT_LBUTTONDOWN, 8, 5, 0, None)    # click x=8
+        yield ord("r")  # reset — points cleared
+        cb(stub.EVENT_LBUTTONDOWN, 12, 5, 0, None)
+        cb(stub.EVENT_LBUTTONDOWN, 33, 5, 0, None)
+        yield ord("c")  # confirm
+
+    monkeypatch.setitem(sys.modules, "cv2", stub)
+    import importlib
+
+    import yolo_sam_inference_tpu.gate.picker as picker
+
+    importlib.reload(picker)
+    state["keys"] = keyscript()
+    # drive: first wait_key call happens after callback registration
+    x_min, x_max = picker.get_roi_coordinates(img_path)
+    assert (x_min, x_max) == (12, 33)
+
+
+def test_cv2_roi_picker_unreadable_image(tmp_path, monkeypatch):
+    import sys
+    import types
+
+    stub = types.SimpleNamespace(imread=lambda p: None, EVENT_LBUTTONDOWN=1)
+    monkeypatch.setitem(sys.modules, "cv2", stub)
+    import importlib
+
+    import yolo_sam_inference_tpu.gate.picker as picker
+
+    importlib.reload(picker)
+    with pytest.raises(ValueError, match="Could not read image"):
+        picker.get_roi_coordinates(tmp_path / "missing.png")

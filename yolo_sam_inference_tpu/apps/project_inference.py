@@ -45,6 +45,12 @@ def parse_args(argv=None):
                    help="x_min,x_max[,y_min,y_max] applied to every condition")
     p.add_argument("--interactive-roi", action="store_true",
                    help="launch the browser ROI picker")
+    p.add_argument("--cv2-roi", action="store_true",
+                   help="legacy cv2 click-two-lines picker per condition "
+                        "(the reference's original interaction, "
+                        "examples/example_project_inference.py:226-262; "
+                        "needs a display — headless hosts use the web "
+                        "picker or --roi/--roi-file)")
     p.add_argument("--port", type=int, default=9487)
     p.add_argument("--log-to-mlflow", action="store_true",
                    help="track params/metrics/artifacts in MLflow (if installed)")
@@ -93,6 +99,18 @@ def resolve_rois(args, condition_names) -> Dict[str, Dict[str, int]]:
 
         condition_dirs = [args.project_dir / c for c in condition_names]
         return get_roi_coordinates_web(condition_dirs, args.output_dir, port=args.port)
+    if getattr(args, "cv2_roi", False):
+        from ..gate.picker import get_roi_coordinates
+
+        rois = {}
+        for c in condition_names:
+            images = collect_images_from_batches(args.project_dir / c)
+            if not images:
+                raise SystemExit(f"error: no images found for condition {c!r}")
+            x_min, x_max = get_roi_coordinates(images[0])
+            rois[c] = {"x_min": x_min, "x_max": x_max,
+                       "y_min": 0, "y_max": 10**9}
+        return rois
     # no gating: accept everything
     return {c: {"x_min": 0, "x_max": 10**9, "y_min": 0, "y_max": 10**9}
             for c in condition_names}

@@ -7,9 +7,9 @@ a two-panel PNG — "All Contours" (every post-morphology foreground pixel,
 red overlay) next to "ROI Contours" (area+ROI-filtered components, blue
 overlay) — with the ROI rectangle drawn in green on both panels and a text
 block showing the kept-contour count and average deformability. The
-reference drew with OpenCV; this environment ships no cv2, so the overlay
-blend is vectorized numpy and the rectangle/text go through PIL's
-ImageDraw. Full-image mask PNGs (``*_mask.png`` / ``*_filtered_mask.png``,
+reference drew with OpenCV; here the overlay blend is vectorized numpy
+and the rectangle/text go through PIL's ImageDraw (no GUI dependency on
+the drawing path — cv2 stays confined to contour topology). Full-image mask PNGs (``*_mask.png`` / ``*_filtered_mask.png``,
 reference ``:357-374``) are written alongside.
 """
 
