@@ -361,3 +361,37 @@ def test_device_put_packed_roundtrip():
     # shapes/dtypes preserved
     assert out["b"]["bf"].dtype == jnp.bfloat16
     assert out["b"]["i"].dtype == jnp.int32
+
+
+def test_fused_program_value_independent():
+    """The fused program's lowered HLO must not bake weight VALUES in as
+    constants: two pipelines with different seeds must lower to the same
+    module text (modulo nothing — byte equality), or the persistent
+    compile cache misses on every fresh random init (queue r4a leg 2:
+    a 189 s recompile from a closure-captured s2d tree)."""
+    import jax
+
+    from yolo_sam_inference_tpu.models.sam import sam_tiny_test
+    from yolo_sam_inference_tpu.models.yolo import YoloConfig
+    from yolo_sam_inference_tpu.pipeline.engine import (
+        CellSegmentationPipeline,
+        PipelineOptions,
+    )
+
+    opts = PipelineOptions(batch_size=2, max_det=4, metric_crop=48,
+                           yolo_size=64, nms_candidates=64,
+                           sam_encoder_size=64)
+    texts = []
+    for seed in (0, 1):
+        pipe = CellSegmentationPipeline(
+            sam_config=sam_tiny_test(), yolo_config=YoloConfig(num_classes=1),
+            options=opts, seed=seed,
+        )
+        st = pipe._stages(64, 64)
+        args = (st["yolo_params"], st["sam_params"], st["yolo_s2d"],
+                jnp.zeros((2, 64, 64, 3), jnp.uint8))
+        texts.append(st["fused_core"].lower(*args).as_text())
+    assert texts[0] == texts[1], (
+        "fused HLO differs between seeds — some weight array is being "
+        "closure-captured into the program as a constant"
+    )
