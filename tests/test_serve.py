@@ -1,0 +1,142 @@
+"""Micro-batching inference service (web/serve.py): HTTP contract,
+batching behavior, shape guard, mask wire codec."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from synth import make_cell_image
+
+
+@pytest.fixture(scope="module")
+def running_service():
+    import jax.numpy as jnp  # noqa: F401  (pipeline import below needs jax)
+
+    from yolo_sam_inference_tpu.models.sam import sam_tiny_test
+    from yolo_sam_inference_tpu.models.yolo import YoloConfig
+    from yolo_sam_inference_tpu.pipeline.engine import (
+        CellSegmentationPipeline,
+        PipelineOptions,
+    )
+    from yolo_sam_inference_tpu.web.serve import serve
+
+    opts = PipelineOptions(batch_size=4, max_det=8, metric_crop=48,
+                           yolo_size=64, nms_candidates=64,
+                           sam_encoder_size=64)
+    pipe = CellSegmentationPipeline(
+        sam_config=sam_tiny_test(), yolo_config=YoloConfig(num_classes=1),
+        options=opts, seed=0,
+    )
+    server, service = serve(pipe, host="127.0.0.1", port=0,
+                            max_wait_ms=30.0, image_shape=(64, 64))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield url, service
+    server.shutdown()
+    service.stop()
+
+
+def _post(url, path, body, headers=None):
+    req = urllib.request.Request(url + path, data=body, method="POST",
+                                 headers=headers or {})
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _png_bytes(img):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_healthz_ready_after_warmup(running_service):
+    url, _ = running_service
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        assert r.status == 200
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_segment_png_roundtrip(running_service):
+    url, _ = running_service
+    rng = np.random.default_rng(0)
+    img = make_cell_image(rng, 64, 64)
+    status, resp = _post(url, "/segment", _png_bytes(img),
+                         {"Content-Type": "image/png"})
+    assert status == 200
+    assert set(resp) >= {"num_cells", "boxes", "scores", "cells"}
+    assert len(resp["boxes"]) == resp["num_cells"] == len(resp["cells"])
+    if resp["cells"]:
+        assert set(resp["cells"][0]) == set(
+            __import__("yolo_sam_inference_tpu.ops.metrics",
+                       fromlist=["METRIC_KEYS"]).METRIC_KEYS)
+
+
+def test_segment_raw_body_and_masks(running_service):
+    url, _ = running_service
+    rng = np.random.default_rng(1)
+    img = make_cell_image(rng, 64, 64)
+    raw = (img[..., 0] if img.ndim == 3 else img).tobytes()
+    status, resp = _post(url, "/segment?masks=1", raw,
+                         {"Content-Type": "application/octet-stream",
+                          "X-Shape": "64x64"})
+    assert status == 200
+    if resp["num_cells"]:
+        from yolo_sam_inference_tpu.utils.mask_encoding import (
+            decode_binary_mask,
+        )
+
+        m = resp["masks"][0]
+        assert len(m["offset"]) == 2
+        decoded = decode_binary_mask(m)
+        assert decoded.dtype == bool and decoded.any()
+
+
+def test_concurrent_requests_share_batches(running_service):
+    url, service = running_service
+    rng = np.random.default_rng(2)
+    imgs = [make_cell_image(rng, 64, 64) for _ in range(4)]
+    before = dict(service.stats)
+    results = [None] * 4
+
+    def hit(i):
+        results[i] = _post(url, "/segment", _png_bytes(imgs[i]),
+                           {"Content-Type": "image/png"})
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r[0] == 200 for r in results)
+    d_req = service.stats["requests"] - before["requests"]
+    d_batches = service.stats["batches"] - before["batches"]
+    assert d_req == 4
+    # micro-batching: 4 concurrent requests need at most 3 dispatches
+    # (deterministically fewer than one-dispatch-per-request)
+    assert d_batches < 4
+
+
+def test_shape_mismatch_is_400(running_service):
+    url, _ = running_service
+    img = np.zeros((32, 32), np.uint8)
+    status, resp = _post(url, "/segment", _png_bytes(img),
+                         {"Content-Type": "image/png"})
+    assert status == 400
+    assert "shape" in resp["error"]
+
+
+def test_stats_endpoint(running_service):
+    url, _ = running_service
+    with urllib.request.urlopen(url + "/stats", timeout=30) as r:
+        s = json.loads(r.read())
+    assert s["batches"] >= 1 and s["mean_batch_fill"] >= 1.0
