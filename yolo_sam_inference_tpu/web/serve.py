@@ -97,7 +97,9 @@ class InferenceService:
             return
         h, w = self.image_shape
         zeros = np.zeros((self.batch_size, h, w), np.uint8)
-        self.pipeline.process_batch_arrays(zeros, fetch_masks=True)
+        self.pipeline._fetch_outputs(
+            self.pipeline._dispatch_batch(zeros, fetch_masks=True)
+        )
         self._warm.set()
 
     def _collect_loop(self) -> None:
@@ -126,8 +128,11 @@ class InferenceService:
             for i, p in enumerate(batch):
                 imgs[i] = p.image
             want_masks = any(p.want_masks for p in batch)
-            out = self.pipeline.process_batch_arrays(
-                imgs, fetch_masks=want_masks
+            # the async fused path — the same compiled program bench.py
+            # warms, so a service on a warm cache pays ZERO compiles
+            # (process_batch_arrays would compile the four stage programs)
+            out = self.pipeline._fetch_outputs(
+                self.pipeline._dispatch_batch(imgs, fetch_masks=want_masks)
             )
             self._warm.set()
             self.stats["batches"] += 1
