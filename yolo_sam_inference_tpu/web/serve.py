@@ -257,6 +257,14 @@ def _make_handler(service: InferenceService):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # enough TCP backlog for a full batch of concurrent clients (the
+    # stdlib default of 5 refuses connections under load) and daemonic
+    # handler threads so shutdown never hangs on a stuck client
+    request_queue_size = 256
+    daemon_threads = True
+
+
 def serve(pipeline, host: str = "0.0.0.0", port: int = 9488,
           batch_size: Optional[int] = None, max_wait_ms: float = 5.0,
           image_shape: Optional[Tuple[int, int]] = None,
@@ -269,5 +277,5 @@ def serve(pipeline, host: str = "0.0.0.0", port: int = 9488,
     service.start()
     if warmup and image_shape is not None:
         service.warmup()
-    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    server = _Server((host, port), _make_handler(service))
     return server, service
