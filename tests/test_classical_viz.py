@@ -161,3 +161,18 @@ def test_runner_no_visualizations_flag(classical_project, tmp_path):
     assert rc == 0
     run = next(out.iterdir())
     assert not list(run.glob("cond_a/*_visualization.png"))
+
+
+def test_disambiguated_name_direct_batch_layout():
+    """Frames directly in a *_output batch dir (the '.' fallback): the
+    nearest digit-bearing ancestor wins, so two batches of a digit-bearing
+    condition never collide (a collision the reference's go-up-two-levels
+    rule had)."""
+    a = Path("/proj/cond_1/a_output/frame.png")
+    b = Path("/proj/cond_1/b_output/frame.png")
+    na, nb = disambiguated_name(a), disambiguated_name(b)
+    assert na != nb
+    # no digit anywhere near -> distinct hashes per directory
+    c = Path("/proj/cond/a_output/frame.png")
+    d = Path("/proj/cond/b_output/frame.png")
+    assert disambiguated_name(c) != disambiguated_name(d)

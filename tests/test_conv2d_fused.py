@@ -225,10 +225,13 @@ def test_dotdense_mode_gates(monkeypatch):
     )
     assert conv2d_fused.conv2d_fused_enabled(3)
     assert conv2d_fused.dwconv_unrolled_enabled()
-    # odd widths / odd channels are fine for the dot rewrite
+    # odd widths / odd channels are fine for the stride-1 dot rewrite
     assert conv2d_supported((1, 13, 17, 3), 3, 1)
-    assert conv2d_supported((1, 13, 17, 3), 3, 2)
     assert conv2d_supported((1, 13, 17, 3), 2, 1)
+    # stride 2 requires even spatial dims (the 'same' (1,1) pad only
+    # matches the s2d path's (1,0) geometry there)
+    assert conv2d_supported((1, 12, 16, 3), 3, 2)
+    assert not conv2d_supported((1, 13, 17, 3), 3, 2)
     assert not conv2d_supported((1, 13, 17, 3), 2, 2)
     # dot mode leaves dense convs on XLA
     monkeypatch.setattr(conv2d_fused, "_MODE", "dot")

@@ -42,7 +42,11 @@ def main() -> None:
     pipe = CellSegmentationPipeline(sam_model_type=sam_model, options=opts)
     st = pipe._stages(size, size)
     img = jnp.zeros((batch, size, size, 3), dtype=jnp.uint8)
-    compiled = st["fused"].lower(st["yolo_params"], st["sam_params"], img).compile()
+    # fused_core is the jitted constant-free program (st["fused"] is a
+    # thin binding wrapper since the s2d-as-argument change)
+    compiled = st["fused_core"].lower(
+        st["yolo_params"], st["sam_params"], st["yolo_s2d"], img
+    ).compile()
     out = os.environ.get("HLO_OUT", "/tmp/fused_hlo.txt")
     with open(out, "w") as f:
         f.write(compiled.as_text())

@@ -61,8 +61,8 @@ def run_and_trace(tracedir: str) -> None:
     try:
         st = pipe._stages(size, size)
         txt = (
-            st["fused"]
-            .lower(st["yolo_params"], st["sam_params"], dev)
+            st["fused_core"]
+            .lower(st["yolo_params"], st["sam_params"], st["yolo_s2d"], dev)
             .compile()
             .as_text()
         )

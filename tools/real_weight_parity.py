@@ -66,16 +66,26 @@ def main() -> int:
     cfg = SAM_CONFIGS[args.model]()
     params = load_sam_params(args.checkpoint, cfg)
 
-    # torch side: same checkpoint through the HF reference implementation
-    tm = SamModel.from_pretrained(
-        args.model, state_dict=torch.load(args.checkpoint, map_location="cpu",
-                                          weights_only=True)
-        if not str(args.checkpoint).endswith(".safetensors") else None,
-    )
+    # torch side: same checkpoint through the HF reference implementation.
+    # The state dict must actually cover the HF model — a silently ignored
+    # mismatch (original-Meta key layout, wrong variant) would make the
+    # pass/fail verdict compare against stock-hub or random weights.
     if str(args.checkpoint).endswith(".safetensors"):
         from safetensors.torch import load_file
 
-        tm.load_state_dict(load_file(args.checkpoint), strict=False)
+        sd = load_file(args.checkpoint)
+    else:
+        sd = torch.load(args.checkpoint, map_location="cpu", weights_only=True)
+        sd = sd.get("state_dict", sd)
+    tm = SamModel.from_pretrained(args.model)
+    missing, unexpected = tm.load_state_dict(sd, strict=False)
+    n_model = sum(1 for _ in tm.state_dict())
+    if len(missing) > 0.01 * n_model:
+        raise SystemExit(
+            f"checkpoint covers only {n_model - len(missing)}/{n_model} of "
+            f"{args.model}'s parameters ({len(unexpected)} unexpected keys) "
+            "— wrong variant or non-HF key layout; convert it first"
+        )
     tm.eval()
     proc = SamProcessor.from_pretrained(args.model)
 

@@ -109,12 +109,26 @@ def disambiguated_name(image_path: Path) -> str:
     """Collision-safe output stem: prefix the batch folder's name when it
     carries a number, else a 6-hex md5 of the parent path (reference
     ``:291-308`` — same-named frames from different batches must not
-    overwrite each other's visualizations)."""
+    overwrite each other's visualizations).
+
+    The batch folder is resolved explicitly: the file's own directory,
+    unless that is one of the runner's known frame subdirs
+    (``cropped_roi_with_target`` / ``full_frames_with_target``), in which
+    case it is the grandparent. Digit-bearing batch names prefix directly;
+    everything else hashes the batch DIRECTORY path — unlike the
+    reference's go-up-two-levels rule, two digit-less batches of a
+    digit-bearing condition can never collide."""
     import hashlib
 
     image_path = Path(image_path)
-    batch_name = image_path.parent.parent.name
-    if batch_name and any(ch.isdigit() for ch in batch_name):
-        return f"{batch_name}_{image_path.stem}"
-    path_hash = hashlib.md5(str(image_path.parent).encode()).hexdigest()[:6]
+    sub = image_path.parent
+    batch_dir = (
+        sub.parent
+        if sub.name in ("cropped_roi_with_target", "full_frames_with_target")
+        else sub
+    )
+    name = batch_dir.name
+    if name and any(ch.isdigit() for ch in name):
+        return f"{name}_{image_path.stem}"
+    path_hash = hashlib.md5(str(batch_dir).encode()).hexdigest()[:6]
     return f"{path_hash}_{image_path.stem}"

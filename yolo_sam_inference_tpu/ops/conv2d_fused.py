@@ -393,9 +393,11 @@ def conv2d_supported(x_shape, k: int, stride: int) -> bool:
     if k not in (2, 3) or stride not in (1, 2):
         return False
     if _MODE == "dotdense":
-        # the dot rewrite has no width/channel alignment requirements —
-        # only the two padding geometries the pipeline uses
-        return stride == 1 or k == 3
+        # the dot rewrite has no width/channel alignment requirements, but
+        # its k=3 stride-2 'same' padding (1, 1) only agrees with the s2d
+        # path's (pad_lo=1, pad_hi=0) geometry when the spatial dims are
+        # even (identical window set; odd sizes diverge on the last row)
+        return stride == 1 or (k == 3 and h % 2 == 0 and w % 2 == 0)
     if ci % 2 or w % 16 or w < 16:
         return False
     if stride == 2:

@@ -753,6 +753,12 @@ class CellSegmentationPipeline:
                 "encoder_parallel supports ViT SAM encoders only (TinyViT's "
                 "conv stages have no tp/sp sharding)"
             )
+        if opts.quant == "int8":
+            raise ValueError(
+                "encoder_parallel does not compose with quant='int8' yet "
+                "(the tp/sp sharders read float {'w','b'} records, not the "
+                "quantized {'wq','wscale','b'} layout) — pick one"
+            )
         mesh = self.mesh
         pre = jax.jit(
             lambda img: sam_preprocess_batch(_ensure_rgb(img), scfg.image_size)[

@@ -86,9 +86,16 @@ def batched_image_loader(
 
     n_procs = int(_os.environ.get("E2E_DECODE_PROCS", "0"))
     if n_procs > 0:
+        import multiprocessing
         from concurrent.futures import ProcessPoolExecutor
 
-        pool_cm = ProcessPoolExecutor(max_workers=n_procs)
+        # spawn, never fork: the caller may hold live JAX runtime threads
+        # (device tunnel, prefetch) whose locks a forked child would
+        # inherit mid-acquisition and deadlock on
+        pool_cm = ProcessPoolExecutor(
+            max_workers=n_procs,
+            mp_context=multiprocessing.get_context("spawn"),
+        )
     elif num_workers > 1:
         pool_cm = ThreadPoolExecutor(max_workers=num_workers)
     else:

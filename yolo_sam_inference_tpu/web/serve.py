@@ -43,13 +43,15 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from ..ops.metrics import METRIC_KEYS
+from ..pipeline.engine import INT_METRIC_KEYS
 from ..utils.logger import setup_logger
 
 logger = setup_logger(__name__)
 
 
 class _Pending:
-    __slots__ = ("image", "want_masks", "event", "response", "error")
+    __slots__ = ("image", "want_masks", "event", "response", "error",
+                 "abandoned")
 
     def __init__(self, image: np.ndarray, want_masks: bool):
         self.image = image
@@ -57,6 +59,9 @@ class _Pending:
         self.event = threading.Event()
         self.response: Optional[Dict[str, Any]] = None
         self.error: Optional[str] = None
+        # set by the client side on timeout: the collector drops abandoned
+        # entries instead of burning device batches nobody will read
+        self.abandoned = False
 
 
 class InferenceService:
@@ -68,16 +73,19 @@ class InferenceService:
         batch_size: Optional[int] = None,
         max_wait_ms: float = 5.0,
         image_shape: Optional[Tuple[int, int]] = None,
+        request_timeout_s: float = 60.0,
     ):
         self.pipeline = pipeline
         self.batch_size = int(batch_size or pipeline.options.batch_size)
         self.max_wait_s = max_wait_ms / 1e3
         self.image_shape = tuple(image_shape) if image_shape else None
+        self.request_timeout_s = request_timeout_s
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self._warm = threading.Event()
+        self._lock = threading.Lock()  # stats + lazy image_shape init
         self.stats = {"requests": 0, "batches": 0, "images_batched": 0,
-                      "errors": 0}
+                      "errors": 0, "abandoned": 0}
         self._collector = threading.Thread(target=self._collect_loop,
                                            daemon=True)
 
@@ -118,7 +126,11 @@ class InferenceService:
                     batch.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            self._run_batch(batch)
+            live = [p for p in batch if not p.abandoned]
+            with self._lock:
+                self.stats["abandoned"] += len(batch) - len(live)
+            if live:
+                self._run_batch(live)
 
     def _run_batch(self, batch: List[_Pending]) -> None:
         try:
@@ -135,14 +147,16 @@ class InferenceService:
                 self.pipeline._dispatch_batch(imgs, fetch_masks=want_masks)
             )
             self._warm.set()
-            self.stats["batches"] += 1
-            self.stats["images_batched"] += n
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["images_batched"] += n
             for i, p in enumerate(batch):
                 p.response = self._format_response(out, i, p.want_masks)
                 p.event.set()
         except Exception as e:  # pragma: no cover - defensive
             logger.exception("batch failed")
-            self.stats["errors"] += 1
+            with self._lock:
+                self.stats["errors"] += 1
             for p in batch:
                 p.error = str(e)
                 p.event.set()
@@ -152,8 +166,12 @@ class InferenceService:
                          want_masks: bool) -> Dict[str, Any]:
         valid = np.asarray(out["valid"][i], bool)
         kidx = np.flatnonzero(valid)
+        # same int-metric rounding as every CSV surface
+        # (engine._results_from_outputs) so serving and batch outputs agree
         cells = [
-            {k: float(out["metrics"][k][i, j]) for k in METRIC_KEYS}
+            {k: (int(round(float(out["metrics"][k][i, j])))
+                 if k in INT_METRIC_KEYS else float(out["metrics"][k][i, j]))
+             for k in METRIC_KEYS}
             for j in kidx
         ]
         resp: Dict[str, Any] = {
@@ -176,21 +194,24 @@ class InferenceService:
     # -- request side ----------------------------------------------------------
 
     def submit(self, image: np.ndarray, want_masks: bool,
-               timeout: float = 30.0) -> Dict[str, Any]:
+               timeout: Optional[float] = None) -> Dict[str, Any]:
         if image.ndim == 3:  # collapse replicated-RGB like the loader
             image = image[..., 0] if np.array_equal(
                 image[..., 0], image[..., 1]) else image.mean(-1).astype(np.uint8)
-        if self.image_shape is None:
-            self.image_shape = image.shape[:2]
-        if image.shape[:2] != self.image_shape:
+        with self._lock:  # lazy shape init must be single-winner
+            if self.image_shape is None:
+                self.image_shape = image.shape[:2]
+            shape = self.image_shape
+            self.stats["requests"] += 1
+        if image.shape[:2] != shape:
             raise ValueError(
                 f"image shape {image.shape[:2]} != service shape "
-                f"{self.image_shape} (one compiled geometry per service)"
+                f"{shape} (one compiled geometry per service)"
             )
-        self.stats["requests"] += 1
         p = _Pending(image, want_masks)
         self._q.put(p)
-        if not p.event.wait(timeout):
+        if not p.event.wait(timeout or self.request_timeout_s):
+            p.abandoned = True  # collector drops it instead of serving it
             raise TimeoutError("inference timed out")
         if p.error:
             raise RuntimeError(p.error)
