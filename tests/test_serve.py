@@ -140,3 +140,57 @@ def test_stats_endpoint(running_service):
     with urllib.request.urlopen(url + "/stats", timeout=30) as r:
         s = json.loads(r.read())
     assert s["batches"] >= 1 and s["mean_batch_fill"] >= 1.0
+
+
+def test_abandoned_requests_are_dropped():
+    """A request that times out is marked abandoned and the collector
+    skips it — no device batch runs for clients that already hung up."""
+    import time
+
+    from yolo_sam_inference_tpu.web.serve import InferenceService
+
+    class SlowPipeline:
+        class options:
+            batch_size = 2
+
+        def __init__(self):
+            self.calls = 0
+
+        def _dispatch_batch(self, imgs, fetch_masks=True):
+            self.calls += 1
+            return {"n": imgs.shape[0]}
+
+        def _fetch_outputs(self, h):
+            k = 4
+            return {
+                "valid": np.zeros((2, k), bool),
+                "boxes": np.zeros((2, k, 4)),
+                "scores": np.zeros((2, k)),
+                "offsets": np.zeros((2, k, 2), int),
+                "metrics": {m: np.zeros((2, k)) for m in
+                            __import__("yolo_sam_inference_tpu.ops.metrics",
+                                       fromlist=["METRIC_KEYS"]).METRIC_KEYS},
+                "mask_crops": None,
+            }
+
+    pipe = SlowPipeline()
+    svc = InferenceService(pipe, batch_size=2, max_wait_ms=1.0,
+                           image_shape=(8, 8))
+    # do NOT start the collector yet: the submit below must time out first
+    img = np.zeros((8, 8), np.uint8)
+    with pytest.raises(TimeoutError):
+        svc.submit(img, want_masks=False, timeout=0.05)
+    svc.start()
+    try:
+        # give the collector a moment to drain the abandoned entry
+        deadline = time.time() + 2
+        while svc.stats["abandoned"] < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        assert svc.stats["abandoned"] == 1
+        assert pipe.calls == 0  # no device work for the abandoned request
+        # a live request still works
+        resp = svc.submit(img, want_masks=False, timeout=5)
+        assert resp["num_cells"] == 0
+        assert pipe.calls == 1
+    finally:
+        svc.stop()
