@@ -146,6 +146,39 @@ def main():
 
             ms = timeit_chained(step, qkv)
             print(f"window={window}: {ms:.3f} ms (incl concat overhead)")
+    elif which == "relpos":
+        # Isolate the rel-pos score-table kernel at the exact config-1 bench
+        # shapes (B=128, S=32, ViT-B): the r4-close flash microbench measured
+        # flash_attention_grid with rhw PREcomputed, so relpos_tables' cost
+        # (flash_attention.py:863 bucket, ~12.8 ms/iter in the r3u trace) was
+        # never isolated. 8 windowed (w=16) + 4 global (w=32) calls per iter.
+        from yolo_sam_inference_tpu.ops.flash_attention import relpos_tables
+
+        b, s, heads, hd = 128, 32, 12, 64
+        c = heads * hd
+        qkv = jnp.asarray(rng.normal(size=(b, s, s, 3 * c)), jnp.bfloat16)
+        rh = jnp.asarray(rng.normal(size=(31, hd)) * 0.02, jnp.float32)
+        rw31 = jnp.asarray(rng.normal(size=(31, hd)) * 0.02, jnp.float32)
+        rh63 = jnp.asarray(rng.normal(size=(63, hd)) * 0.02, jnp.float32)
+        rw63 = jnp.asarray(rng.normal(size=(63, hd)) * 0.02, jnp.float32)
+        total = 0.0
+        for window, th, tw, nlayers in ((16, rh, rw31, 8), (32, rh63, rw63, 4)):
+
+            def step(v, th=th, tw=tw, window=window):
+                o = relpos_tables(v, th, tw, heads=heads, window=window)
+                # fold 128 lanes of the output back into qkv so the loop
+                # carries; dynamic_update_slice touches only those lanes so
+                # the fold costs ~0.3 ms, not a full qkv pass
+                upd = (v[..., :128] + o[..., :128] * jnp.bfloat16(1e-3)).astype(
+                    v.dtype
+                )
+                return jax.lax.dynamic_update_slice(v, upd, (0, 0, 0, 0))
+
+            ms = timeit_chained(step, qkv, inner=10, outer=4)
+            total += ms * nlayers
+            print(f"relpos window={window}: {ms:.3f} ms/call "
+                  f"({nlayers} layers -> {ms*nlayers:.1f} ms/iter, incl add)")
+        print(f"relpos total (config-1 layer mix): {total:.1f} ms/iter")
 
 
 if __name__ == "__main__":
