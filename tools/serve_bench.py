@@ -46,6 +46,9 @@ def main() -> int:
     p.add_argument("--warm-requests", type=int, default=256)
     p.add_argument("--max-wait-ms", type=float, default=3.0)
     p.add_argument("--masks", action="store_true")
+    p.add_argument("--fmt", choices=("json", "bin"), default="json",
+                   help="response format: bin = packed fp32 records "
+                        "(content-negotiated; cuts per-request host CPU)")
     args = p.parse_args()
 
     _enable_compile_cache()
@@ -66,8 +69,10 @@ def main() -> int:
                             max_wait_ms=args.max_wait_ms,
                             image_shape=(args.size, args.size))
     threading.Thread(target=server.serve_forever, daemon=True).start()
+    q = [k for k, on in (("masks=1", args.masks),
+                         ("fmt=bin", args.fmt == "bin")) if on]
     url = f"http://127.0.0.1:{server.server_address[1]}/segment" + (
-        "?masks=1" if args.masks else "")
+        "?" + "&".join(q) if q else "")
     warm_s = time.time() - t0
 
     rng = np.random.default_rng(0)
@@ -81,12 +86,21 @@ def main() -> int:
     headers = {"Content-Type": "application/octet-stream",
                "X-Shape": f"{args.size}x{args.size}"}
 
+    def cpu_jiffies():
+        """(busy, total) jiffies across the host, from /proc/stat."""
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(v) for v in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return sum(vals) - idle, sum(vals)
+
     lat_lock = threading.Lock()
     latencies = []
     counter = {"left": args.warm_requests + args.requests,
                "measured": 0, "errors": 0}
     measure_from = args.requests  # count down: last `requests` are measured
     t_start = [None]
+    cpu_start = [None]
 
     def worker():
         while True:
@@ -97,12 +111,15 @@ def main() -> int:
                 measuring = counter["left"] < measure_from
                 if measuring and t_start[0] is None:
                     t_start[0] = time.perf_counter()
+                    cpu_start[0] = cpu_jiffies()
             rt0 = time.perf_counter()
             try:
                 req = urllib.request.Request(url, data=body, headers=headers,
                                              method="POST")
                 with urllib.request.urlopen(req, timeout=120) as r:
-                    r.read()
+                    payload = r.read()
+                if args.fmt == "bin" and payload[:4] != b"YSB1":
+                    raise ValueError("bad binary magic")
             except Exception:
                 with lat_lock:
                     counter["errors"] += 1
@@ -118,13 +135,20 @@ def main() -> int:
     for t in threads:
         t.join()
     dt = time.perf_counter() - t_start[0]
+    busy0, total0 = cpu_start[0]
+    busy1, total1 = cpu_jiffies()
+    # host-CPU ms per measured request (client+server share this host): the
+    # number the binary response mode exists to cut (VERDICT r4 next #6)
+    hz = os.sysconf("SC_CLK_TCK")
+    cpu_ms_per_req = (busy1 - busy0) / hz * 1e3 / max(counter["measured"], 1)
     lat_ms = np.sort(np.asarray(latencies)) * 1e3
     s = dict(service.stats)
     rec = {
         "metric": "serving images/sec (HTTP micro-batching, "
-                  f"B={args.batch}, {args.size}x{args.size})",
+                  f"B={args.batch}, {args.size}x{args.size}, {args.fmt})",
         "value": round(counter["measured"] / dt, 2),
         "unit": "images/sec",
+        "host_cpu_ms_per_request": round(cpu_ms_per_req, 2),
         "p50_request_latency_ms": round(float(np.percentile(lat_ms, 50)), 1),
         "p99_request_latency_ms": round(float(np.percentile(lat_ms, 99)), 1),
         "mean_batch_fill": round(s["images_batched"] / max(s["batches"], 1), 1),

@@ -52,14 +52,22 @@ def main() -> None:
 
     @jax.jit
     def run(qkv, rhw, wproj, bproj):
-        def body(i, acc):
-            return acc + flash_attention_grid(
+        # The loop must CARRY the kernel input — an `acc + flash(const...)`
+        # body is loop-invariant and XLA hoists the kernel out of the loop
+        # entirely (discovered r5: the r4-close "isolated" numbers measured
+        # ONE kernel call + 8 accumulator adds, reporting the global variant
+        # BELOW its FLOP floor). dynamic_update_slice keeps the carry cost
+        # to ~0.3 ms instead of a full qkv pass.
+        def body(i, qkv):
+            o = flash_attention_grid(
                 qkv, rhw, heads, window, wproj=wproj, bproj=bproj
-            ).astype(jnp.float32)
+            )
+            upd = (qkv[..., :128] + o[..., :128] * jnp.bfloat16(1e-3)).astype(
+                qkv.dtype
+            )
+            return jax.lax.dynamic_update_slice(qkv, upd, (0, 0, 0, 0))
 
-        return jax.lax.fori_loop(
-            0, inner, body, jnp.zeros((b, s, s, c), jnp.float32)
-        )
+        return jax.lax.fori_loop(0, inner, body, qkv)
 
     def sync(x):
         np.asarray(x.reshape(-1)[0])
