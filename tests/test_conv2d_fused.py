@@ -49,7 +49,10 @@ def test_conv2d_act_parity(case):
     x = jnp.asarray(rng.normal(size=(b, h, w_, ci)), jnp.float32)
     w = jnp.asarray(rng.normal(size=(k, k, ci, co)) * 0.1, jnp.float32)
     bias = jnp.asarray(rng.normal(size=(co,)), jnp.float32)
-    assert conv2d_supported(x.shape, k, s)
+    # k=2 only exists under the s2d (1, 0)-padding contract, which callers
+    # must declare (ADVICE r4: a non-s2d k=2 'same' conv must fall back)
+    assert conv2d_supported(x.shape, k, s, k2_s2d=(k == 2))
+    assert k != 2 or not conv2d_supported(x.shape, k, s)
     got = conv2d_act(x, w, bias, k=k, stride=s, act=act, interpret=True)
     want = _ref(x, w, bias, k, s, act)
     assert got.shape == want.shape
@@ -227,7 +230,10 @@ def test_dotdense_mode_gates(monkeypatch):
     assert conv2d_fused.dwconv_unrolled_enabled()
     # odd widths / odd channels are fine for the stride-1 dot rewrite
     assert conv2d_supported((1, 13, 17, 3), 3, 1)
-    assert conv2d_supported((1, 13, 17, 3), 2, 1)
+    # k=2 still needs the s2d (1, 0)-pad declaration in dotdense mode —
+    # _dense_pad hardcodes that geometry (ADVICE r4)
+    assert conv2d_supported((1, 13, 17, 3), 2, 1, k2_s2d=True)
+    assert not conv2d_supported((1, 13, 17, 3), 2, 1)
     # stride 2 requires even spatial dims (the 'same' (1,1) pad only
     # matches the s2d path's (1,0) geometry there)
     assert conv2d_supported((1, 12, 16, 3), 3, 2)

@@ -167,6 +167,33 @@ def test_flash_grid_matches_oracle(window, bqy, bky):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
+def test_flash_grid_combined_qkv_read_matches_default(monkeypatch):
+    """SAM_FLASH_QKV1=1 (single contiguous (.., 3C) qkv block per step
+    instead of three lane-sliced reads) is bit-compatible with the default
+    path on the windowed (num_q == num_k == 1) geometry."""
+    from yolo_sam_inference_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(5)
+    b, s, heads, hd, window = 2, 8, 3, 16, 4
+    c = heads * hd
+    qkv = jnp.asarray(rng.normal(size=(b, s, s, 3 * c)), jnp.float32)
+    rhw = jnp.asarray(rng.normal(size=(b, s, s, 2 * heads * window)) * 0.3,
+                      jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(c, c)) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+    monkeypatch.delenv("SAM_FLASH_QKV1", raising=False)
+    base = np.asarray(fa.flash_attention_grid(
+        qkv, rhw, heads=heads, window=window, wproj=wproj, bproj=bproj,
+        interpret=True))
+    monkeypatch.setenv("SAM_FLASH_QKV1", "1")
+    fa.flash_attention_grid.clear_cache()
+    got = np.asarray(fa.flash_attention_grid(
+        qkv, rhw, heads=heads, window=window, wproj=wproj, bproj=bproj,
+        interpret=True))
+    fa.flash_attention_grid.clear_cache()  # do not leak the env-keyed jit
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
+
+
 def test_vision_attention_grid_matches_naive_path():
     """The full fused path (qkv + local rel tables + grid kernel) must equal
     the window-partition + naive-attention path used on CPU."""

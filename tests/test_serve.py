@@ -101,6 +101,109 @@ def test_segment_raw_body_and_masks(running_service):
         assert decoded.dtype == bool and decoded.any()
 
 
+def test_segment_binary_response(running_service):
+    """?fmt=bin returns the packed record; values match the JSON path."""
+    import struct
+
+    url, _ = running_service
+    rng = np.random.default_rng(7)
+    img = make_cell_image(rng, 64, 64)
+    _, jresp = _post(url, "/segment?masks=1", _png_bytes(img),
+                     {"Content-Type": "image/png"})
+    req = urllib.request.Request(
+        url + "/segment?fmt=bin&masks=1", data=_png_bytes(img),
+        method="POST", headers={"Content-Type": "image/png"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/octet-stream"
+        buf = r.read()
+    assert buf[:4] == b"YSB1"
+    n, nm, flags = struct.unpack_from("<III", buf, 4)
+    (klen,) = struct.unpack_from("<I", buf, 16)
+    keys = buf[20:20 + klen].decode().split(",")
+    from yolo_sam_inference_tpu.ops.metrics import METRIC_KEYS
+
+    assert keys == list(METRIC_KEYS) and nm == len(METRIC_KEYS)
+    assert n == jresp["num_cells"] and flags == 1
+    off = 20 + klen
+    boxes = np.frombuffer(buf, "<f4", n * 4, off).reshape(n, 4)
+    off += n * 16
+    scores = np.frombuffer(buf, "<f4", n, off)
+    off += n * 4
+    metrics = np.frombuffer(buf, "<f4", n * nm, off).reshape(n, nm)
+    off += n * nm * 4
+    np.testing.assert_allclose(boxes, np.asarray(jresp["boxes"]), rtol=1e-6)
+    np.testing.assert_allclose(scores, np.asarray(jresp["scores"]), rtol=1e-6)
+    for j, cell in enumerate(jresp["cells"]):
+        np.testing.assert_allclose(
+            metrics[j], np.asarray([cell[k] for k in keys], np.float32),
+            rtol=1e-5, atol=1e-5)
+    # masks section decodes to the same pixels as the JSON wire codec
+    import zlib
+
+    from yolo_sam_inference_tpu.utils.mask_encoding import decode_binary_mask
+
+    for j in range(n):
+        oy, ox, h, w, nb = struct.unpack_from("<IIIII", buf, off)
+        off += 20
+        bits = np.unpackbits(
+            np.frombuffer(zlib.decompress(buf[off:off + nb]), np.uint8)
+        )[: h * w].reshape(h, w).astype(bool)
+        off += nb
+        jm = jresp["masks"][j]
+        assert [oy, ox] == jm["offset"]
+        np.testing.assert_array_equal(bits, decode_binary_mask(jm))
+    assert off == len(buf)
+
+
+def test_true_color_rejected_on_grayscale_service(running_service):
+    """ADVICE r4 (medium): true-RGB must never silently collapse — on a
+    grayscale-geometry service it is a 400; replicated-RGB still works."""
+    url, _ = running_service
+    rng = np.random.default_rng(8)
+    color = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    color[..., 1] ^= 0xFF  # genuinely non-replicated
+    status, resp = _post(url, "/segment", _png_bytes(color),
+                         {"Content-Type": "image/png"})
+    assert status == 400 and "shape" in resp["error"]
+    gray = np.repeat(rng.integers(0, 255, (64, 64, 1), np.uint8), 3, -1)
+    status, _ = _post(url, "/segment", _png_bytes(gray),
+                      {"Content-Type": "image/png"})
+    assert status == 200
+
+
+def test_rgba_policy():
+    from yolo_sam_inference_tpu.web.serve import InferenceService
+
+    norm = InferenceService._normalize_channels
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 255, (8, 8, 3), np.uint8)
+    rgb[..., 1] ^= 0xFF
+    opaque = np.dstack([rgb, np.full((8, 8), 255, np.uint8)])
+    np.testing.assert_array_equal(norm(opaque), rgb)  # alpha dropped
+    rep = np.repeat(rng.integers(0, 255, (8, 8, 1), np.uint8), 3, -1)
+    assert norm(rep).shape == (8, 8)  # replicated-RGB collapses
+    assert norm(rgb).shape == (8, 8, 3)  # true color passes through
+    translucent = opaque.copy()
+    translucent[0, 0, 3] = 17
+    with pytest.raises(ValueError):
+        norm(translucent)
+
+
+def test_body_size_cap(running_service):
+    import yolo_sam_inference_tpu.web.serve as serve_mod
+
+    url, _ = running_service
+    old = serve_mod.MAX_BODY_BYTES
+    serve_mod.MAX_BODY_BYTES = 64
+    try:
+        status, resp = _post(url, "/segment", b"x" * 200,
+                             {"Content-Type": "image/png"})
+        assert status == 413 and "cap" in resp["error"]
+    finally:
+        serve_mod.MAX_BODY_BYTES = old
+
+
 def test_concurrent_requests_share_batches(running_service):
     url, service = running_service
     rng = np.random.default_rng(2)

@@ -37,6 +37,15 @@ def parse_args(argv=None):
     p.add_argument("--hull-mode", choices=("polygon", "reference"), default="polygon",
                    help="hull measurement: exact polygon (default) or the "
                         "reference's rasterize+regionprops procedure")
+    p.add_argument("--encoder-parallel", choices=("none", "tp", "sp"),
+                   default="none",
+                   help="shard the SAM ViT encoder over devices to buy "
+                        "per-image latency: tp = Megatron head/MLP-hidden "
+                        "sharding, sp = sequence (token-row) sharding "
+                        "(docs/SCALING.md; not composable with --quant int8)")
+    p.add_argument("--parallel-devices", type=int, default=0,
+                   help="device count for --encoder-parallel (0 = all "
+                        "visible devices)")
     p.add_argument("--quant", choices=("none", "int8"), default="none",
                    help="int8 = dynamic w8a8 SAM-encoder matmuls (~10-19%% "
                         "faster; accuracy bounds: apps/quant_report.py)")
@@ -144,7 +153,14 @@ def main(argv=None) -> int:
     rois = resolve_rois(args, condition_names)
 
     opts = PipelineOptions(batch_size=args.batch_size, max_det=args.max_det,
-                           hull_mode=args.hull_mode, quant=args.quant)
+                           hull_mode=args.hull_mode, quant=args.quant,
+                           encoder_parallel=args.encoder_parallel)
+    mesh = None
+    if args.encoder_parallel != "none":
+        from ..parallel.mesh import make_encoder_parallel_mesh
+
+        mesh = make_encoder_parallel_mesh(args.encoder_parallel,
+                                          args.parallel_devices)
     pipeline = ParallelCellSegmentationPipeline(
         yolo_model_path=args.yolo_model,
         sam_model_type=args.sam_model,
@@ -152,6 +168,7 @@ def main(argv=None) -> int:
         device=args.device,
         options=opts,
         num_pipelines=args.num_pipelines,
+        mesh=mesh,
     )
     run_dir = Path(args.output_dir) / pipeline.run_id
     run_dir.mkdir(parents=True, exist_ok=True)

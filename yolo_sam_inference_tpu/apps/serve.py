@@ -23,10 +23,13 @@ def main(argv=None) -> int:
     p.add_argument("--max-wait-ms", type=float, default=5.0,
                    help="partial-batch dispatch deadline")
     p.add_argument("--image-size", default=None,
-                   help="HxW; fixes the compiled geometry and warms it at "
-                        "startup (otherwise the first request's shape wins)")
+                   help="HxW (grayscale) or HxWx3 (true color); fixes the "
+                        "compiled geometry and warms it at startup "
+                        "(otherwise the first request's shape wins)")
     p.add_argument("--quant", choices=("none", "int8"), default="none")
-    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address; pass 0.0.0.0 explicitly to expose "
+                        "the service beyond this host")
     p.add_argument("--port", type=int, default=9488)
     args = p.parse_args(argv)
 
@@ -35,8 +38,9 @@ def main(argv=None) -> int:
 
     shape = None
     if args.image_size:
-        h, w = (int(v) for v in args.image_size.lower().split("x"))
-        shape = (h, w)
+        shape = tuple(int(v) for v in args.image_size.lower().split("x"))
+        if len(shape) not in (2, 3) or (len(shape) == 3 and shape[2] != 3):
+            p.error("--image-size must be HxW or HxWx3")
     pipe = CellSegmentationPipeline(
         yolo_model_path=args.yolo_model,
         sam_model_type=args.sam_model,

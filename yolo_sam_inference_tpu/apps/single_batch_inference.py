@@ -40,6 +40,15 @@ def parse_args(argv=None):
     p.add_argument("--quant", choices=("none", "int8"), default="none",
                    help="int8 = dynamic w8a8 SAM-encoder matmuls (~10-19%% "
                         "faster; accuracy bounds: apps/quant_report.py)")
+    p.add_argument("--encoder-parallel", choices=("none", "tp", "sp"),
+                   default="none",
+                   help="shard the SAM ViT encoder over devices to buy "
+                        "per-image latency: tp = Megatron head/MLP-hidden "
+                        "sharding, sp = sequence (token-row) sharding "
+                        "(docs/SCALING.md; not composable with --quant int8)")
+    p.add_argument("--parallel-devices", type=int, default=0,
+                   help="device count for --encoder-parallel (0 = all "
+                        "visible devices)")
     return p.parse_args(argv)
 
 
@@ -58,13 +67,21 @@ def main(argv=None) -> int:
         yolo_path = load_model_from_mlflow(args.experiment_id or "", args.run_id)
 
     opts = PipelineOptions(batch_size=args.batch_size, max_det=args.max_det,
-                           hull_mode=args.hull_mode, quant=args.quant)
+                           hull_mode=args.hull_mode, quant=args.quant,
+                           encoder_parallel=args.encoder_parallel)
+    mesh = None
+    if args.encoder_parallel != "none":
+        from ..parallel.mesh import make_encoder_parallel_mesh
+
+        mesh = make_encoder_parallel_mesh(args.encoder_parallel,
+                                          args.parallel_devices)
     pipeline = CellSegmentationPipeline(
         yolo_model_path=yolo_path,
         sam_model_type=args.sam_model,
         sam_checkpoint=args.sam_checkpoint,
         device=args.device,
         options=opts,
+        mesh=mesh,
     )
 
     t0 = time.time()

@@ -124,7 +124,9 @@ def _conv_s2d(
     k2, pad2, stride2 = _block_geometry(k, stride, s2d_out)
     from ...ops.conv2d_fused import conv2d_fused_enabled, conv2d_supported
 
-    if conv2d_fused_enabled(k2) and conv2d_supported(x.shape, k2, stride2):
+    if conv2d_fused_enabled(k2) and conv2d_supported(
+        x.shape, k2, stride2, k2_s2d=(k2 != 2 or pad2 == 1)
+    ):
         from ...ops.conv2d_fused import conv2d_act
 
         return conv2d_act(x, p["w"], p["b"], k=k2, stride=stride2, act=act_name)

@@ -381,15 +381,24 @@ def _conv_s2_kernel(
     o_ref[0] = acc.astype(o_ref.dtype).reshape(ho, wo, co)
 
 
-def conv2d_supported(x_shape, k: int, stride: int) -> bool:
+def conv2d_supported(
+    x_shape, k: int, stride: int, k2_s2d: bool = False
+) -> bool:
     """Geometry gate for :func:`conv2d_act` (callers fall back to XLA).
 
     Both kernels run on width-pair-merged views, so W % 16 (Wo % 8 for the
     sublane-aligned flatten) and an even Ci (the lane roll that extracts a
-    pair's odd half) are required for k > 1."""
+    pair's odd half) are required for k > 1.
+
+    ``k2_s2d``: k=2 convs here always use the s2d transform's (1, 0)
+    padding (:func:`_dense_pad`), NOT XLA's 'same' (1, 1) — a non-s2d
+    caller would silently get a different window geometry (ADVICE r4), so
+    k=2 is only supported when the caller declares the s2d contract."""
     _, h, w, ci = x_shape
     if k == 1 and stride == 1:
         return True
+    if k == 2 and not k2_s2d:
+        return False
     if k not in (2, 3) or stride not in (1, 2):
         return False
     if _MODE == "dotdense":
@@ -438,7 +447,10 @@ def conv2d_act(
     bsz, h, wid, ci = x.shape
     co = w.shape[-1]
     assert w.shape[:3] == (k, k, ci), (w.shape, k, ci)
-    if not conv2d_supported(x.shape, k, stride):
+    # k2_s2d=True here: this function's k=2 IS the s2d (1, 0)-padding
+    # contract (docstring) — the caller-side conv2d_supported gate is where
+    # a non-s2d k=2 must be declared (and thereby fall back to XLA)
+    if not conv2d_supported(x.shape, k, stride, k2_s2d=True):
         raise ValueError(f"unsupported conv2d_act geometry {x.shape} k={k} s={stride}")
     if k == 1 and stride == 1:
         return conv1x1_act(x, w[0, 0], b, act)

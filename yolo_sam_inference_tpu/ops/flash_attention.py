@@ -236,13 +236,35 @@ def _flash_grid_kernel(
     scale: float,
     fuse_proj: bool,
     wps: int = 1,
+    combined: bool = False,
 ):
-    if fuse_proj:
+    if combined:
+        # single-block qkv read (SAM_FLASH_QKV1): q/k/v arrive as ONE
+        # contiguous (bqy, wps*wsx, 3C) block — one DMA per step instead
+        # of three 768-lane strided slices of the same tensor
+        if fuse_proj:
+            (qkv_ref, rhw_ref, wp_ref, bp_ref,
+             o_ref, m_scr, l_scr, acc_scr) = refs
+        else:
+            qkv_ref, rhw_ref, o_ref, m_scr, l_scr, acc_scr = refs
+            wp_ref = bp_ref = None
+        c_ = heads * hd
+        blk = qkv_ref[0]
+        qt = blk[..., :c_]
+        kt = blk[..., c_: 2 * c_]
+        vt = blk[..., 2 * c_:]
+    elif fuse_proj:
         (q_ref, k_ref, v_ref, rhw_ref, wp_ref, bp_ref,
          o_ref, m_scr, l_scr, acc_scr) = refs
+        qt = q_ref[0]  # (bqy, wps*wsx, C)
+        kt = k_ref[0]
+        vt = v_ref[0]
     else:
         q_ref, k_ref, v_ref, rhw_ref, o_ref, m_scr, l_scr, acc_scr = refs
         wp_ref = bp_ref = None
+        qt = q_ref[0]
+        kt = k_ref[0]
+        vt = v_ref[0]
     ki = pl.program_id(2)
     single = num_k == 1  # whole window per step: plain softmax, no scratch IO
     assert wps == 1 or single
@@ -253,10 +275,6 @@ def _flash_grid_kernel(
             m_scr[:] = jnp.full_like(m_scr, NEG_INF)
             l_scr[:] = jnp.zeros_like(l_scr)
             acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    qt = q_ref[0]  # (bqy, wps*wsx, C)
-    kt = k_ref[0]
-    vt = v_ref[0]
     rhw = rhw_ref[0]  # (bqy, wps*wsx, 2*heads*wk)
     nq = qt.shape[0] * wsx
     nk = kt.shape[0] * wsx
@@ -446,10 +464,12 @@ def flash_attention_grid(
         block_ky = max(d for d in range(1, window + 1)
                        if window % d == 0 and d * window <= kq_budget)
     if block_qy is None:
+        # small windows default to whole-window q blocks (wps batching
+        # needs num_q == 1); an explicit SAM_FLASH_QQ sweeps them too
         block_qy = (
             max(d for d in range(1, window + 1)
                 if window % d == 0 and d * window <= qq_budget)
-            if window > 16
+            if window > 16 or "SAM_FLASH_QQ" in os.environ
             else window
         )
     num_q = window // block_qy
@@ -490,6 +510,14 @@ def flash_attention_grid(
         return (g // (nw * nwx), wy * num_q + qi, wx, 0)
 
     fuse_proj = wproj is not None
+    # combined qkv read (opt-in A/B): when q and k/v blocks coincide
+    # (num_q == num_k == 1, the windowed path), read the whole (.., 3C)
+    # lane range as ONE contiguous block instead of three 768-lane strided
+    # slices of the same tensor — 1/3 the DMA descriptors, no lane stride
+    combined = (
+        num_q == 1 and num_k == 1
+        and os.environ.get("SAM_FLASH_QKV1", "0") == "1"
+    )
     kernel = functools.partial(
         _flash_grid_kernel,
         heads=heads,
@@ -501,14 +529,26 @@ def flash_attention_grid(
         scale=hd ** -0.5,
         fuse_proj=fuse_proj,
         wps=wps,
+        combined=combined,
     )
-    in_specs = [
-        pl.BlockSpec((1, block_qy, wps * window, c), qmap),
-        pl.BlockSpec((1, block_ky, wps * window, c), kmap),
-        pl.BlockSpec((1, block_ky, wps * window, c), vmap_),
-        pl.BlockSpec((1, block_qy, wps * window, 2 * heads * wk), omap),
-    ]
-    inputs = [qkv, qkv, qkv, rhw]
+    if combined:
+        def qkvmap(g, qi, ki):
+            wy, wx = (g // nwx) % nw, g % nwx
+            return (g // (nw * nwx), wy, wx, 0)
+
+        in_specs = [
+            pl.BlockSpec((1, block_qy, wps * window, 3 * c), qkvmap),
+            pl.BlockSpec((1, block_qy, wps * window, 2 * heads * wk), omap),
+        ]
+        inputs = [qkv, rhw]
+    else:
+        in_specs = [
+            pl.BlockSpec((1, block_qy, wps * window, c), qmap),
+            pl.BlockSpec((1, block_ky, wps * window, c), kmap),
+            pl.BlockSpec((1, block_ky, wps * window, c), vmap_),
+            pl.BlockSpec((1, block_qy, wps * window, 2 * heads * wk), omap),
+        ]
+        inputs = [qkv, qkv, qkv, rhw]
     if fuse_proj:
         in_specs += [
             pl.BlockSpec((c, c), lambda g, qi, ki: (0, 0)),

@@ -19,8 +19,36 @@ Endpoints:
   wire-codec masks (``utils/mask_encoding``, reference-compatible).
   Response: ``{"num_cells", "boxes", "scores", "cells": [{metric: value,
   ...}], ["masks"]}``.
+
+  With ``?fmt=bin`` (or ``Accept: application/octet-stream``) the
+  response is the packed binary record below instead of JSON — measured
+  ~5x cheaper per request in host CPU on the loopback bench, which is
+  what bounds serving throughput on small hosts (the device itself can
+  serve the fused rate):
+
+  .. code-block:: text
+
+      magic   b"YSB1"
+      u32     num_cells
+      u32     n_metrics
+      u32     flags            bit0: masks section present
+      u32     keys_len; keys   comma-joined metric names (utf-8)
+      f32[num_cells, 4]        boxes (x0, y0, x1, y1)
+      f32[num_cells]           scores
+      f32[num_cells, n_metrics] metric rows (int-metrics pre-rounded)
+      masks (if flags&1), per cell:
+          u32 off_y; u32 off_x; u32 h; u32 w; u32 nbytes
+          nbytes of zlib(packbits(mask))   # same wire codec as JSON mode
+
+  All integers little-endian.
 * ``GET /healthz`` — liveness (200 once the device program is warm).
 * ``GET /stats`` — requests served, batches dispatched, mean batch fill.
+
+Color inputs: replicated-RGB collapses to grayscale exactly like the
+directory loader; true-color RGB passes through unchanged (the engine
+takes rank-3 images) but must match the service's compiled geometry —
+a color frame sent to a grayscale service gets a 400, never a silent
+collapse. Opaque RGBA drops its alpha plane; non-opaque RGBA is a 400.
 
 Batching knobs: ``batch_size`` (the compiled batch — requests pad up to
 it), ``max_wait_ms`` (how long the collector waits to fill a batch before
@@ -35,8 +63,10 @@ from __future__ import annotations
 import io
 import json
 import queue
+import struct
 import threading
 import time
+import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -48,16 +78,25 @@ from ..utils.logger import setup_logger
 
 logger = setup_logger(__name__)
 
+# request-body cap: a 2048x2048 RGB raw frame is ~12.6 MB; anything past
+# 32 MB is not a microscopy frame and should not allocate (ADVICE r4)
+MAX_BODY_BYTES = 32 * 1024 * 1024
+
 
 class _Pending:
-    __slots__ = ("image", "want_masks", "event", "response", "error",
+    __slots__ = ("image", "want_masks", "event", "out", "index", "error",
                  "abandoned")
 
     def __init__(self, image: np.ndarray, want_masks: bool):
         self.image = image
         self.want_masks = want_masks
         self.event = threading.Event()
-        self.response: Optional[Dict[str, Any]] = None
+        # the collector stores the batch outputs + this request's row; the
+        # REQUEST thread formats its own response (JSON or binary), so
+        # serialization cost parallelizes across connection threads instead
+        # of serializing on the device-owner thread
+        self.out: Optional[Dict[str, np.ndarray]] = None
+        self.index = -1
         self.error: Optional[str] = None
         # set by the client side on timeout: the collector drops abandoned
         # entries instead of burning device batches nobody will read
@@ -103,8 +142,7 @@ class InferenceService:
         'ready', not 'will compile on your first request')."""
         if self.image_shape is None:
             return
-        h, w = self.image_shape
-        zeros = np.zeros((self.batch_size, h, w), np.uint8)
+        zeros = np.zeros((self.batch_size, *self.image_shape), np.uint8)
         self.pipeline._fetch_outputs(
             self.pipeline._dispatch_batch(zeros, fetch_masks=True)
         )
@@ -135,8 +173,9 @@ class InferenceService:
     def _run_batch(self, batch: List[_Pending]) -> None:
         try:
             n = len(batch)
-            h, w = batch[0].image.shape[:2]
-            imgs = np.zeros((self.batch_size, h, w), np.uint8)
+            imgs = np.zeros(
+                (self.batch_size, *batch[0].image.shape), np.uint8
+            )
             for i, p in enumerate(batch):
                 imgs[i] = p.image
             want_masks = any(p.want_masks for p in batch)
@@ -151,7 +190,9 @@ class InferenceService:
                 self.stats["batches"] += 1
                 self.stats["images_batched"] += n
             for i, p in enumerate(batch):
-                p.response = self._format_response(out, i, p.want_masks)
+                if p.abandoned:  # timed out after dequeue: nobody reads it
+                    continue
+                p.out, p.index = out, i
                 p.event.set()
         except Exception as e:  # pragma: no cover - defensive
             logger.exception("batch failed")
@@ -191,22 +232,80 @@ class InferenceService:
             ]
         return resp
 
+    @staticmethod
+    def _format_response_bin(out: Dict[str, np.ndarray], i: int,
+                             want_masks: bool) -> bytes:
+        """Packed little-endian record (layout in the module docstring):
+        one ndarray.tobytes() per section instead of per-value JSON floats
+        — the JSON path cost ~20 ms of host CPU per request on the 1-vCPU
+        loopback bench (BENCH_NOTES r4c), which WAS the serving ceiling."""
+        valid = np.asarray(out["valid"][i], bool)
+        kidx = np.flatnonzero(valid)
+        keys = ",".join(METRIC_KEYS).encode()
+        metrics = np.stack(
+            [np.asarray(out["metrics"][k][i][kidx], np.float32)
+             for k in METRIC_KEYS],
+            axis=1,
+        ) if kidx.size else np.zeros((0, len(METRIC_KEYS)), np.float32)
+        for col, k in enumerate(METRIC_KEYS):  # CSV-surface int rounding
+            if k in INT_METRIC_KEYS:
+                metrics[:, col] = np.round(metrics[:, col])
+        has_masks = want_masks and out.get("mask_crops") is not None
+        parts = [
+            b"YSB1",
+            struct.pack("<III", kidx.size, len(METRIC_KEYS), int(has_masks)),
+            struct.pack("<I", len(keys)), keys,
+            np.asarray(out["boxes"][i][kidx], np.float32).tobytes(),
+            np.asarray(out["scores"][i][kidx], np.float32).tobytes(),
+            metrics.tobytes(),
+        ]
+        if has_masks:
+            offs = np.asarray(out["offsets"][i][kidx], int)
+            for jj, j in enumerate(kidx):
+                m = np.asarray(out["mask_crops"][i][j])
+                blob = zlib.compress(np.packbits(m.astype(np.uint8)).tobytes())
+                parts.append(struct.pack(
+                    "<IIIII", int(offs[jj][0]), int(offs[jj][1]),
+                    m.shape[0], m.shape[1], len(blob)))
+                parts.append(blob)
+        return b"".join(parts)
+
     # -- request side ----------------------------------------------------------
 
+    @staticmethod
+    def _normalize_channels(image: np.ndarray) -> np.ndarray:
+        """Loader-parity channel policy (ADVICE r4: serving must not
+        silently diverge from the directory path). Replicated-RGB collapses
+        to one plane; true color stays (H, W, 3); opaque RGBA drops alpha;
+        translucent RGBA is rejected."""
+        if image.ndim != 3:
+            return image
+        if image.shape[-1] == 4:
+            if not (image[..., 3] == 255).all():
+                raise ValueError(
+                    "RGBA with non-opaque alpha is not supported; "
+                    "flatten client-side"
+                )
+            image = image[..., :3]
+        if image.ndim == 3 and image.shape[-1] == 3 and np.array_equal(
+            image[..., 0], image[..., 1]
+        ) and np.array_equal(image[..., 1], image[..., 2]):
+            return image[..., 0]
+        return image
+
     def submit(self, image: np.ndarray, want_masks: bool,
-               timeout: Optional[float] = None) -> Dict[str, Any]:
-        if image.ndim == 3:  # collapse replicated-RGB like the loader
-            image = image[..., 0] if np.array_equal(
-                image[..., 0], image[..., 1]) else image.mean(-1).astype(np.uint8)
+               timeout: Optional[float] = None, fmt: str = "json"):
+        image = self._normalize_channels(image)
         with self._lock:  # lazy shape init must be single-winner
             if self.image_shape is None:
-                self.image_shape = image.shape[:2]
+                self.image_shape = image.shape
             shape = self.image_shape
             self.stats["requests"] += 1
-        if image.shape[:2] != shape:
+        if image.shape != tuple(shape):
             raise ValueError(
-                f"image shape {image.shape[:2]} != service shape "
-                f"{shape} (one compiled geometry per service)"
+                f"image shape {image.shape} != service shape "
+                f"{tuple(shape)} (one compiled geometry per service; "
+                "color vs grayscale counts)"
             )
         p = _Pending(image, want_masks)
         self._q.put(p)
@@ -215,7 +314,9 @@ class InferenceService:
             raise TimeoutError("inference timed out")
         if p.error:
             raise RuntimeError(p.error)
-        return p.response  # type: ignore[return-value]
+        if fmt == "bin":
+            return self._format_response_bin(p.out, p.index, p.want_masks)
+        return self._format_response(p.out, p.index, p.want_masks)
 
 
 def _decode_image(body: bytes, headers) -> np.ndarray:
@@ -263,11 +364,27 @@ def _make_handler(service: InferenceService):
             if not self.path.startswith("/segment"):
                 return self._send(404, {"error": "not found"})
             want_masks = "masks=1" in self.path
+            fmt = "bin" if (
+                "fmt=bin" in self.path
+                or "application/octet-stream" in self.headers.get("Accept", "")
+            ) else "json"
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > MAX_BODY_BYTES:  # ADVICE r4: bound allocations
+                    return self._send(413, {
+                        "error": f"body {length} B > cap {MAX_BODY_BYTES} B"})
                 img = _decode_image(self.rfile.read(length), self.headers)
-                resp = service.submit(np.asarray(img, np.uint8), want_masks)
-                self._send(200, resp)
+                resp = service.submit(np.asarray(img, np.uint8), want_masks,
+                                      fmt=fmt)
+                if fmt == "bin":
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Content-Length", str(len(resp)))
+                    self.end_headers()
+                    self.wfile.write(resp)
+                else:
+                    self._send(200, resp)
             except (ValueError, OSError) as e:
                 self._send(400, {"error": str(e)})
             except TimeoutError as e:
@@ -286,7 +403,7 @@ class _Server(ThreadingHTTPServer):
     daemon_threads = True
 
 
-def serve(pipeline, host: str = "0.0.0.0", port: int = 9488,
+def serve(pipeline, host: str = "127.0.0.1", port: int = 9488,
           batch_size: Optional[int] = None, max_wait_ms: float = 5.0,
           image_shape: Optional[Tuple[int, int]] = None,
           warmup: bool = True):
