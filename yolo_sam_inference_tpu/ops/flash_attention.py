@@ -41,6 +41,16 @@ NEG_INF = -1.0e30
 # builder (_relpos_tables_kernel_big).
 _RELPOS_V2 = os.environ.get("SAM_RELPOS_V2", "0") == "1"
 
+# SAM_FLASH_ABL: measurement-only ablations of the grid kernel (wrong
+# numerics by construction — never in a product path). chain_bench legs use
+# these to decompose the windowed step's 2.8x-over-FLOP-floor cost:
+#   noexp   — softmax exp replaced by a cast (VPU transcendental cost)
+#   nobias  — q/k used un-augmented (concat + onehot-build cost)
+#   nopv    — PV contraction replaced by a slice of p
+#   noqk    — QK contraction replaced by zeros
+def _ablate() -> str:
+    return os.environ.get("SAM_FLASH_ABL", "")
+
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, rh_ref, rw_ref,  # inputs
@@ -289,6 +299,8 @@ def _flash_grid_kernel(
     e_kx = (jcol == kk % wsx).astype(qt.dtype)
     e_kyx = jnp.concatenate([e_ky, e_kx], axis=1)  # (nk, 2*wk)
 
+    abl = _ablate()
+
     def one_window(qf, kf, vf, rhwf):
         """Per-head attention within one window; returns (nq, C) unprojected
         output (single path) or None (online-softmax accumulation path)."""
@@ -302,29 +314,42 @@ def _flash_grid_kernel(
             #   q' = [q * scale, rh, rw]   k' = [k | onehot(ky) | onehot(kx)]
             # computes scale*qk^T + rh[q, ky] + rw[q, kx] in ONE matmul issue
             # instead of three.
-            rh_rw = (
-                rhwf[:, h * wk : (h + 1) * wk],
-                rhwf[:, (heads + h) * wk : (heads + h + 1) * wk],
-            )
-            q_aug = jnp.concatenate(
-                [q * q.dtype.type(scale), rh_rw[0], rh_rw[1]], axis=1
-            )  # (nq, hd + 2*wk)
-            k_aug = jnp.concatenate([k, e_kyx], axis=1)  # (nk, hd + 2*wk)
-            s = jax.lax.dot_general(
-                q_aug,
-                k_aug,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (nq, nk) fp32
+            if abl == "nobias":
+                q_aug = q * q.dtype.type(scale)
+                k_aug = k
+            else:
+                rh_rw = (
+                    rhwf[:, h * wk : (h + 1) * wk],
+                    rhwf[:, (heads + h) * wk : (heads + h + 1) * wk],
+                )
+                q_aug = jnp.concatenate(
+                    [q * q.dtype.type(scale), rh_rw[0], rh_rw[1]], axis=1
+                )  # (nq, hd + 2*wk)
+                k_aug = jnp.concatenate([k, e_kyx], axis=1)  # (nk, hd + 2*wk)
+            if abl == "noqk":
+                s = jnp.zeros((q.shape[0], k.shape[0]), jnp.float32)
+            else:
+                s = jax.lax.dot_general(
+                    q_aug,
+                    k_aug,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (nq, nk) fp32
 
             if single:
                 m_cur = jnp.max(s, axis=1, keepdims=True)
-                p = jnp.exp((s - m_cur).astype(v.dtype))  # bf16 exp (args <= 0)
+                if abl == "noexp":
+                    p = (s - m_cur).astype(v.dtype)
+                else:
+                    p = jnp.exp((s - m_cur).astype(v.dtype))  # bf16 exp
                 l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
-                o_h = jax.lax.dot_general(
-                    p, v, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) / jnp.maximum(l, 1e-30)
+                if abl == "nopv":
+                    o_h = p[:, :hd].astype(jnp.float32)
+                else:
+                    o_h = jax.lax.dot_general(
+                        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) / jnp.maximum(l, 1e-30)
                 outs.append(o_h)
                 continue
 
