@@ -191,6 +191,30 @@ class _FakeCursor:
                 sum(bool(r.get("empty")) for r in rows),
             )]
             return
+        m = re.match(r"SELECT results FROM (\S+) WHERE minio_path = %s", s)
+        if m:
+            for r in self._s.table(m.group(1)):
+                if r["minio_path"] == params[0]:
+                    self._rows = [(r.get("results"),)]
+                    return
+            return
+        m = re.match(
+            r"SELECT minio_path, empty, results IS NOT NULL, error FROM "
+            r"(\S+) ORDER BY id LIMIT %s",
+            s,
+        )
+        if m:
+            rows = sorted(self._s.table(m.group(1)), key=lambda r: r["id"])
+            self._rows = [
+                (r["minio_path"], bool(r.get("empty")),
+                 r.get("results") is not None, r.get("error"))
+                for r in rows[: int(params[0])]
+            ]
+            return
+        if s.startswith("SELECT table_name FROM information_schema.tables"):
+            self._rows = [(t,) for t in sorted(self._s.tables)
+                          if not t.startswith("_")]
+            return
         # with_deformability: EXISTS over jsonb_array_elements ... elem ?? 'deformability'
         m = re.match(r"SELECT COUNT\(\*\) FROM (\S+) WHERE results IS NOT NULL AND EXISTS", s)
         if m:

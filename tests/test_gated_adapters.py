@@ -84,6 +84,48 @@ def test_postgres_manifest_full_flow(pg):
     assert s["percent_complete"] == pytest.approx(75.0)
 
 
+def test_postgres_backed_result_viewer(pg, tmp_path, rng):
+    """VERDICT r4 next #8: the result viewer reading from Postgres (the
+    reference viewer's DB-backed flow, ``postgres_result_viewer.py:251-366``)
+    — table picker, row list, and per-row on-demand render, all through
+    the PostgresManifest adapter against the protocol fake."""
+    from PIL import Image
+    from synth import make_cell_image
+
+    from yolo_sam_inference_tpu.apps.result_viewer import (
+        _row_page,
+        _table_page,
+    )
+    from yolo_sam_inference_tpu.registry.postgres import PostgresManifest
+
+    img_path = tmp_path / "cell.png"
+    Image.fromarray(make_cell_image(rng)).save(img_path)
+    m = PostgresManifest(table="results_a")
+    PostgresManifest(table="results_b")  # second table for the picker
+    m.ingest([str(img_path), "pending.png"])
+    m.record_result(
+        str(img_path),
+        [{"deformability": 0.25, "area": 120, "circularity": 0.8,
+          "ch_area": 130, "mean_brightness": 88.0, "confidence": 0.9,
+          "box": {"x_min": 5, "y_min": 5, "x_max": 40, "y_max": 40}}],
+    )
+
+    assert set(m.list_tables()) >= {"results_a", "results_b"}
+    rows = m.list_rows(limit=10)
+    assert [r["minio_path"] for r in rows] == [str(img_path), "pending.png"]
+    assert rows[0]["has_results"] and not rows[1]["has_results"]
+    assert m.get_results("pending.png") is None
+    assert m.get_results(str(img_path))[0]["area"] == 120
+
+    tbl_html = _table_page(m, "results_a", limit=10)
+    assert "1/2 complete" in tbl_html and "pending.png" in tbl_html
+    from yolo_sam_inference_tpu.apps.result_viewer import _fs_fetch
+
+    row_html = _row_page(m, "results_a", str(img_path), _fs_fetch)
+    assert "data:image/png;base64," in row_html  # image fetched + rendered
+    assert "0.25" in row_html
+
+
 def test_postgres_ingest_from_tracking_prefix_and_extensions(pg):
     from yolo_sam_inference_tpu.registry.postgres import PostgresManifest
 

@@ -134,6 +134,60 @@ def test_result_viewer_report(tmp_path, tiny_pipeline, rng):
     assert "data:image/png;base64," in html
 
 
+def test_result_viewer_serve_live(tmp_path, rng):
+    """The live --serve browser (reference viewer's flow: table picker ->
+    row list -> on-demand render) over the sqlite backend."""
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from yolo_sam_inference_tpu.apps.result_viewer import serve_viewer
+    from yolo_sam_inference_tpu.registry.manifest import metrics_to_result_row
+    from yolo_sam_inference_tpu.utils.mask_encoding import encode_binary_mask
+
+    p = tmp_path / "img.png"
+    img = make_cell_image(rng)
+    Image.fromarray(img).save(p)
+    m = WorkManifest(tmp_path / "m.db")
+    m.ingest([str(p)])
+    mask = np.zeros(img.shape[:2], bool)
+    mask[10:30, 10:30] = True
+    row = metrics_to_result_row(
+        {"deformability": 0.1, "area": 400, "area_ratio": 1.0,
+         "circularity": 0.9, "convex_hull_area": 420, "mean_brightness": 90.0,
+         "brightness_std": 5.0, "perimeter": 80.0,
+         "convex_hull_perimeter": 82.0},
+        box=[10, 10, 30, 30], confidence=0.8)
+    row["mask"] = encode_binary_mask(mask)
+    m.record_result(str(p), [row])
+    m.close()
+
+    server = serve_viewer(
+        lambda table: WorkManifest(tmp_path / "m.db", table=table),
+        ["images"], "127.0.0.1", 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        idx = urllib.request.urlopen(base + "/", timeout=10).read().decode()
+        assert '<a href="/t/images">' in idx
+        tbl = urllib.request.urlopen(base + "/t/images", timeout=10).read().decode()
+        assert "1/1 complete" in tbl and "img.png" in tbl
+        from urllib.parse import quote
+
+        rowp = urllib.request.urlopen(
+            base + f"/t/images/row?path={quote(str(p), safe='')}", timeout=10
+        ).read().decode()
+        assert "data:image/png;base64," in rowp  # on-demand render happened
+        assert "0.1" in rowp  # deformability cell
+        bad = urllib.request.urlopen(base + "/t/nope", timeout=10)
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    finally:
+        server.shutdown()
+
+
 def test_combine_local_batches(tmp_path):
     from yolo_sam_inference_tpu.registry.readout import combine_local_batches
 

@@ -210,5 +210,12 @@ class WorkManifest:
             for p, e, h, err in cur
         ]
 
+    def list_tables(self) -> List[str]:
+        """Result tables in this sqlite file (the viewer's table picker)."""
+        cur = self._conn.execute(
+            "SELECT name FROM sqlite_master WHERE type = 'table' ORDER BY name"
+        )
+        return [r[0] for r in cur.fetchall()]
+
     def close(self) -> None:
         self._conn.close()

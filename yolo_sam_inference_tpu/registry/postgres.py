@@ -168,6 +168,44 @@ class PostgresManifest:
             )
         self.conn.commit()
 
+    def get_results(self, path: str) -> Optional[List[Dict[str, Any]]]:
+        with self.conn.cursor() as cur:
+            cur.execute(
+                f"SELECT results FROM {self.table} WHERE minio_path = %s",
+                (str(path),),
+            )
+            row = cur.fetchone()
+        if row is None or row[0] is None:
+            return None
+        # psycopg2 decodes jsonb to python; raw strings still parse
+        return row[0] if isinstance(row[0], list) else json.loads(row[0])
+
+    def list_rows(self, limit: int = 20) -> List[Dict[str, Any]]:
+        with self.conn.cursor() as cur:
+            cur.execute(
+                f"SELECT minio_path, empty, results IS NOT NULL, error "
+                f"FROM {self.table} ORDER BY id LIMIT %s",
+                (int(limit),),
+            )
+            return [
+                {"minio_path": p, "empty": bool(e), "has_results": bool(h),
+                 "error": err}
+                for p, e, h, err in cur.fetchall()
+            ]
+
+    def list_tables(self) -> List[str]:
+        """Result tables in the public schema (the reference viewer's table
+        picker, ``tools/postgres_result_viewer.py:251-366``)."""
+        with self.conn.cursor() as cur:
+            cur.execute(
+                "SELECT table_name FROM information_schema.tables "
+                "WHERE table_schema = 'public' ORDER BY table_name"
+            )
+            return [r[0] for r in cur.fetchall()]
+
+    def close(self) -> None:
+        self.conn.close()
+
     def summary(self) -> Dict[str, Any]:
         with self.conn.cursor() as cur:
             cur.execute(
