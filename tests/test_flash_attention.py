@@ -194,6 +194,28 @@ def test_flash_grid_combined_qkv_read_matches_default(monkeypatch):
     np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
 
 
+def test_flash_grid_vsum_matches_default(monkeypatch):
+    """SAM_FLASH_VSUM=1 (softmax denominator via a ones-column on the PV
+    contraction) is numerics-equivalent to the VPU row-sum path."""
+    from yolo_sam_inference_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(6)
+    b, s, heads, hd, window = 2, 8, 3, 16, 4
+    c = heads * hd
+    qkv = jnp.asarray(rng.normal(size=(b, s, s, 3 * c)), jnp.float32)
+    rhw = jnp.asarray(rng.normal(size=(b, s, s, 2 * heads * window)) * 0.3,
+                      jnp.float32)
+    monkeypatch.delenv("SAM_FLASH_VSUM", raising=False)
+    base = np.asarray(fa.flash_attention_grid(
+        qkv, rhw, heads=heads, window=window, interpret=True))
+    monkeypatch.setenv("SAM_FLASH_VSUM", "1")
+    fa.flash_attention_grid.clear_cache()
+    got = np.asarray(fa.flash_attention_grid(
+        qkv, rhw, heads=heads, window=window, interpret=True))
+    fa.flash_attention_grid.clear_cache()
+    np.testing.assert_allclose(got, base, rtol=2e-6, atol=2e-6)
+
+
 def test_vision_attention_grid_matches_naive_path():
     """The full fused path (qkv + local rel tables + grid kernel) must equal
     the window-partition + naive-attention path used on CPU."""

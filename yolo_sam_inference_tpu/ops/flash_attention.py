@@ -52,6 +52,22 @@ def _ablate() -> str:
     return os.environ.get("SAM_FLASH_ABL", "")
 
 
+# SAM_FLASH_VSUM=1 (A/B): compute the softmax denominator ON the MXU by
+# appending a ones-column to v — the PV contraction then yields [p@v | l]
+# in the same pass and the VPU cross-lane row-sum disappears. Exact same
+# math (both paths accumulate fp32).
+def _vsum() -> bool:
+    return os.environ.get("SAM_FLASH_VSUM", "0") == "1"
+
+
+# SAM_FLASH_NOMAX=1 (measurement/opt-in): skip the row-max subtraction in
+# the single-window softmax — exact softmax in exact arithmetic, but exp
+# overflows if logits exceed ~88, so it is NOT a default (SAM logits after
+# LN sit around +-30).
+def _nomax() -> bool:
+    return os.environ.get("SAM_FLASH_NOMAX", "0") == "1"
+
+
 def _flash_kernel(
     q_ref, k_ref, v_ref, rh_ref, rw_ref,  # inputs
     o_ref,  # output
@@ -337,15 +353,29 @@ def _flash_grid_kernel(
                 )  # (nq, nk) fp32
 
             if single:
-                m_cur = jnp.max(s, axis=1, keepdims=True)
-                if abl == "noexp":
-                    p = (s - m_cur).astype(v.dtype)
+                if _nomax():
+                    p = jnp.exp(s.astype(v.dtype))
                 else:
-                    p = jnp.exp((s - m_cur).astype(v.dtype))  # bf16 exp
-                l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+                    m_cur = jnp.max(s, axis=1, keepdims=True)
+                    if abl == "noexp":
+                        p = (s - m_cur).astype(v.dtype)
+                    else:
+                        p = jnp.exp((s - m_cur).astype(v.dtype))  # bf16 exp
                 if abl == "nopv":
-                    o_h = p[:, :hd].astype(jnp.float32)
+                    l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+                    o_h = p[:, :hd].astype(jnp.float32) + l * 0
+                elif _vsum():
+                    nk_ = v.shape[0]
+                    v_aug = jnp.concatenate(
+                        [v, jnp.ones((nk_, 1), v.dtype)], axis=1
+                    )
+                    pv = jax.lax.dot_general(
+                        p, v_aug, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (nq, hd + 1): [p @ v | row-sum l]
+                    o_h = pv[:, :hd] / jnp.maximum(pv[:, hd:], 1e-30)
                 else:
+                    l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
                     o_h = jax.lax.dot_general(
                         p, v, dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
