@@ -194,6 +194,35 @@ def test_flash_grid_combined_qkv_read_matches_default(monkeypatch):
     np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
 
 
+def test_flash_grid_wpair_matches_oracle(monkeypatch):
+    """SAM_FLASH_WPAIR=1 (wps windows merged into one contraction with
+    +-sqrt(M) window-indicator lanes) matches the window oracle. The M
+    shift costs ~13 bits of fp32 logit precision — tolerance reflects it."""
+    from yolo_sam_inference_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(7)
+    b, s, heads, hd, window = 2, 8, 3, 16, 4  # nw=2 -> wps=2 on this shape
+    c = heads * hd
+    qkv = jnp.asarray(rng.normal(size=(b, s, s, 3 * c)), jnp.float32)
+    rhw = jnp.asarray(rng.normal(size=(b, s, s, 2 * heads * window)) * 0.3,
+                      jnp.float32)
+    monkeypatch.setenv("SAM_FLASH_WPAIR", "1")
+    fa.flash_attention_grid.clear_cache()
+    got = np.asarray(fa.flash_attention_grid(
+        qkv, rhw, heads=heads, window=window, interpret=True))
+    fa.flash_attention_grid.clear_cache()
+    monkeypatch.setenv("SAM_FLASH_WPAIR", "0")
+    want = _oracle_grid_attention(qkv, rhw, heads, window)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    # cross-window suppression is EXACT (softmax rows renormalize over the
+    # in-window entries only): verify against the default kernel too
+    fa.flash_attention_grid.clear_cache()
+    base = np.asarray(fa.flash_attention_grid(
+        qkv, rhw, heads=heads, window=window, interpret=True))
+    fa.flash_attention_grid.clear_cache()
+    np.testing.assert_allclose(got, base, rtol=2e-3, atol=2e-3)
+
+
 def test_flash_grid_vsum_matches_default(monkeypatch):
     """SAM_FLASH_VSUM=1 (softmax denominator via a ones-column on the PV
     contraction) is numerics-equivalent to the VPU row-sum path."""

@@ -68,6 +68,25 @@ def _nomax() -> bool:
     return os.environ.get("SAM_FLASH_NOMAX", "0") == "1"
 
 
+# SAM_FLASH_WPAIR: merge the wps=2 adjacent windows of a grid step into
+# ONE per-head contraction instead of two — the r5 ablation chain showed
+# the QK dot is the kernel's dominant cost (noqk: 4.02 -> 1.39 ms/call
+# windowed) because 24 small 96-deep dots per step run at ~20% MXU
+# efficiency (pipeline fill/drain dominates). Window isolation rides the
+# contraction as two indicator lanes scaled by sqrt(M): same-window pairs
+# gain +M, so after the row-max subtraction cross-window logits sit at
+# -M and exp to exactly 0. M = 2^14 keeps sqrt(M) = 128 exact in bf16 and
+# costs ~13 bits of logit precision in fp32 (far below the bf16
+# probability mantissa). Halves QK/PV issue counts at 2x their FLOPs —
+# a win while the dots are issue-bound. Off until the chain A/B lands;
+# flipped to default-on if it wins (BENCH_NOTES r5).
+_WPAIR_M = 16384.0
+
+
+def _wpair() -> bool:
+    return os.environ.get("SAM_FLASH_WPAIR", "0") == "1"
+
+
 def _flash_kernel(
     q_ref, k_ref, v_ref, rh_ref, rw_ref,  # inputs
     o_ref,  # output
@@ -416,6 +435,70 @@ def _flash_grid_kernel(
             ).astype(o_ref.dtype)
         return o
 
+    def window_merged(qf, kf, vf, rhwf):
+        """All wps windows of the step in ONE contraction per head.
+
+        Tokens are (bqy, wps*wsx) row-major, so windows INTERLEAVE along
+        x — isolation cannot be a block mask. Instead two indicator lanes
+        scaled by sqrt(_WPAIR_M) ride the contraction: same-window pairs
+        gain +M, the row max absorbs it, and cross-window entries exp to
+        exactly 0 (see _wpair). QK/PV run 2x FLOPs in half the issues —
+        measured faster while the small dots are fill/drain-bound.
+        """
+        nt = qf.shape[0]
+        row = wps * wsx
+        tok = jax.lax.broadcasted_iota(jnp.int32, (nt, wps), 0)
+        wj = jax.lax.broadcasted_iota(jnp.int32, (nt, wps), 1)
+        wid = ((tok % row) // wsx == wj).astype(qf.dtype) * qf.dtype.type(
+            _WPAIR_M ** 0.5  # 128.0 — exact in bf16
+        )  # (nt, wps) window-membership lanes
+        # k one-hots over all step tokens: local row = t // row, local
+        # col = t % wsx (wsx divides row)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (nt, wk), 0)
+        jc = jax.lax.broadcasted_iota(jnp.int32, (nt, wk), 1)
+        e_ky_m = (jc == kk // row).astype(qf.dtype)
+        e_kx_m = (jc == kk % wsx).astype(qf.dtype)
+        outs = []
+        for h in range(heads):
+            q = qf[:, h * hd : (h + 1) * hd]
+            k = kf[:, h * hd : (h + 1) * hd]
+            v = vf[:, h * hd : (h + 1) * hd]
+            q_aug = jnp.concatenate(
+                [
+                    q * q.dtype.type(scale),
+                    rhwf[:, h * wk : (h + 1) * wk],
+                    rhwf[:, (heads + h) * wk : (heads + h + 1) * wk],
+                    wid,
+                ],
+                axis=1,
+            )  # (nt, hd + 2*wk + wps)
+            k_aug = jnp.concatenate([k, e_ky_m, e_kx_m, wid], axis=1)
+            s = jax.lax.dot_general(
+                q_aug, k_aug,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (nt, nt); cross-window entries sit at s - M
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp((s - m_cur).astype(v.dtype))  # cross-window -> 0
+            if _vsum():
+                v_aug = jnp.concatenate(
+                    [v, jnp.ones((nt, 1), v.dtype)], axis=1
+                )
+                pv = jax.lax.dot_general(
+                    p, v_aug, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                outs.append(pv[:, :hd] / jnp.maximum(pv[:, hd:], 1e-30))
+            else:
+                l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+                outs.append(
+                    jax.lax.dot_general(
+                        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) / jnp.maximum(l, 1e-30)
+                )
+        return jnp.concatenate(outs, axis=-1)
+
     if single:
         bqy = qt.shape[0]
         if wps == 1:
@@ -426,6 +509,16 @@ def _flash_grid_kernel(
                 rhw.reshape(nq, 2 * heads * wk),
             )
             o_ref[0] = project(o).reshape(bqy, wsx, c)
+            return
+        if _wpair():
+            nt = bqy * wps * wsx
+            o = window_merged(
+                qt.reshape(nt, c),
+                kt.reshape(nt, c),
+                vt.reshape(nt, c),
+                rhw.reshape(nt, 2 * heads * wk),
+            )
+            o_ref[0] = project(o).reshape(bqy, wps * wsx, c)
             return
         # wps adjacent windows along x per grid step (amortizes the
         # per-step fixed costs that dominate small-window layers); the
