@@ -727,6 +727,15 @@ def flash_attention_grid(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # default scoped-vmem budget is 16 MB; the global layer sits at
+            # that cliff (several r5 variants OOM by <1 MB). SAM_FLASH_VMEM
+            # raises it for A/B of bigger tiles (v5e VMEM is physically
+            # larger than the default scoped budget).
+            vmem_limit_bytes=(
+                int(os.environ["SAM_FLASH_VMEM"])
+                if os.environ.get("SAM_FLASH_VMEM")
+                else None
+            ),
         ),
         interpret=interpret,
     )(*inputs)
