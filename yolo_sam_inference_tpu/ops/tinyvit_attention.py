@@ -42,6 +42,7 @@ pipeline.py:76).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -195,12 +196,17 @@ def tinyvit_window_block(
 
     nwin = _pick_nwin(n, tp, heads)
     # windows per attention dot: P*Tp ~ 224 tokens keeps the MXU fed while
-    # the block-diagonal packed bias stays small VMEM (heads*(P*Tp)^2 fp32)
+    # the block-diagonal packed bias stays small VMEM (heads*(P*Tp)^2 fp32).
+    # SAM_TV_PACKCAP sweeps the token cap (chain legs): the default 256
+    # leaves the ws=14 stage-3 blocks at pack=1 — 200-token 32-deep
+    # per-head dots, the same fill/drain starvation the r5 flash ablations
+    # measured on config 1.
+    packcap = int(os.environ.get("SAM_TV_PACKCAP", "256"))
     pack = 1
-    for cand in (4, 2):
+    for cand in (8, 4, 2):
         if (
             nwin % cand == 0
-            and cand * tp <= 256
+            and cand * tp <= packcap
             and heads * (cand * tp) ** 2 * 4 <= 3_500_000
         ):
             pack = cand
