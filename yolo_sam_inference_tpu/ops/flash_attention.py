@@ -477,9 +477,16 @@ def _flash_grid_kernel(
                 q_aug, k_aug,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (nt, nt); cross-window entries sit at s - M
-            m_cur = jnp.max(s, axis=1, keepdims=True)
-            p = jnp.exp((s - m_cur).astype(v.dtype))  # cross-window -> 0
+            )  # (nt, nt); same-window entries sit at raw + M
+            if _nomax():
+                # under wpair the stability shift can be the CONSTANT M:
+                # same-window -> exp(raw), cross-window -> exp(raw - M) = 0.
+                # No row reduction at all; safe while raw logits < ~88
+                # (opt-in, same caveat as plain nomax).
+                p = jnp.exp((s - jnp.float32(_WPAIR_M)).astype(v.dtype))
+            else:
+                m_cur = jnp.max(s, axis=1, keepdims=True)
+                p = jnp.exp((s - m_cur).astype(v.dtype))  # cross-window -> 0
             if _vsum():
                 v_aug = jnp.concatenate(
                     [v, jnp.ones((nt, 1), v.dtype)], axis=1
