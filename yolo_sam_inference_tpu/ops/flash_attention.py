@@ -52,12 +52,13 @@ def _ablate() -> str:
     return os.environ.get("SAM_FLASH_ABL", "")
 
 
-# SAM_FLASH_VSUM=1 (A/B): compute the softmax denominator ON the MXU by
-# appending a ones-column to v — the PV contraction then yields [p@v | l]
-# in the same pass and the VPU cross-lane row-sum disappears. Exact same
-# math (both paths accumulate fp32).
+# SAM_FLASH_VSUM (default ON): compute the softmax denominator ON the MXU
+# by appending a ones-column to v — the PV contraction then yields
+# [p@v | l] in the same pass and the VPU cross-lane row-sum disappears.
+# Exact same math (both paths accumulate fp32); measured −0.23 ms/call on
+# the windowed ViT-B layer (BENCH_NOTES r5). SAM_FLASH_VSUM=0 reverts.
 def _vsum() -> bool:
-    return os.environ.get("SAM_FLASH_VSUM", "0") == "1"
+    return os.environ.get("SAM_FLASH_VSUM", "1") == "1"
 
 
 # SAM_FLASH_NOMAX=1 (measurement/opt-in): skip the row-max subtraction in
@@ -75,16 +76,20 @@ def _nomax() -> bool:
 # efficiency (pipeline fill/drain dominates). Window isolation rides the
 # contraction as two indicator lanes scaled by sqrt(M): same-window pairs
 # gain +M, so after the row-max subtraction cross-window logits sit at
-# -M and exp to exactly 0. M = 2^14 keeps sqrt(M) = 128 exact in bf16 and
-# costs ~13 bits of logit precision in fp32 (far below the bf16
-# probability mantissa). Halves QK/PV issue counts at 2x their FLOPs —
-# a win while the dots are issue-bound. Off until the chain A/B lands;
-# flipped to default-on if it wins (BENCH_NOTES r5).
-_WPAIR_M = 16384.0
+# ~-M and exp to exactly 0 (bf16 exp underflows below ~-90; M = 512
+# leaves >5x margin even for adversarial +-80 logits). sqrt(M) rides the
+# indicator lanes in the activation dtype; the fp32 logit rounding cost
+# at +512 is ~6e-5 absolute — invisible at output tolerance. Halves
+# QK/PV issue counts at 2x their FLOPs —
+# a win while the dots are issue-bound: measured 4.02 -> 3.32 ms/call
+# (with vsum) on the windowed ViT-B layer (BENCH_NOTES r5) — default ON
+# (only wps==2 geometries are affected; ViT-L/H run wps=1 and never take
+# this path). SAM_FLASH_WPAIR=0 reverts.
+_WPAIR_M = 512.0
 
 
 def _wpair() -> bool:
-    return os.environ.get("SAM_FLASH_WPAIR", "0") == "1"
+    return os.environ.get("SAM_FLASH_WPAIR", "1") == "1"
 
 
 def _flash_kernel(
@@ -450,7 +455,7 @@ def _flash_grid_kernel(
         tok = jax.lax.broadcasted_iota(jnp.int32, (nt, wps), 0)
         wj = jax.lax.broadcasted_iota(jnp.int32, (nt, wps), 1)
         wid = ((tok % row) // wsx == wj).astype(qf.dtype) * qf.dtype.type(
-            _WPAIR_M ** 0.5  # 128.0 — exact in bf16
+            _WPAIR_M ** 0.5
         )  # (nt, wps) window-membership lanes
         # k one-hots over all step tokens: local row = t // row, local
         # col = t % wsx (wsx divides row)
@@ -480,7 +485,7 @@ def _flash_grid_kernel(
             )  # (nt, nt); same-window entries sit at raw + M
             if _nomax():
                 # under wpair the stability shift can be the CONSTANT M:
-                # same-window -> exp(raw), cross-window -> exp(raw - M) = 0.
+                # same-window -> exp(raw), cross-window -> exp(raw - M) -> 0.
                 # No row reduction at all; safe while raw logits < ~88
                 # (opt-in, same caveat as plain nomax).
                 p = jnp.exp((s - jnp.float32(_WPAIR_M)).astype(v.dtype))
@@ -612,7 +617,11 @@ def flash_attention_grid(
     # SAM_FLASH_QQ / SAM_FLASH_KQ / SAM_FLASH_WPSB override the token/byte
     # budgets for device A/B sweeps (tools/sweep_flash.py); defaults are the
     # measured-best serving configuration.
-    kq_budget, qq_budget = (1024, 256) if c < 1024 else (512, 128)
+    # global-layer q blocks doubled r5 (256 -> 512 token budget => bqy 16
+    # at ViT-B): 5.91 -> 5.48 ms/call once the scoped-vmem budget allows
+    # (the 22.5M allocation needs the raised limit below). c >= 1024
+    # (ViT-L/H) keeps the r3-measured budgets — unmeasured there.
+    kq_budget, qq_budget = (1024, 512) if c < 1024 else (512, 128)
     kq_budget = int(os.environ.get("SAM_FLASH_KQ", kq_budget))
     qq_budget = int(os.environ.get("SAM_FLASH_QQ", qq_budget))
     if block_ky is None:
@@ -735,13 +744,14 @@ def flash_attention_grid(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # default scoped-vmem budget is 16 MB; the global layer sits at
-            # that cliff (several r5 variants OOM by <1 MB). SAM_FLASH_VMEM
-            # raises it for A/B of bigger tiles (v5e VMEM is physically
-            # larger than the default scoped budget).
+            # that cliff (several r5 variants OOM by <1 MB) and the r5
+            # default tiles (global bqy=16, merged windows) need ~23 MB.
+            # 64 MB default for the measured c<1024 configs; SAM_FLASH_VMEM
+            # overrides either way.
             vmem_limit_bytes=(
                 int(os.environ["SAM_FLASH_VMEM"])
                 if os.environ.get("SAM_FLASH_VMEM")
-                else None
+                else (64 * 1024 * 1024 if c < 1024 else None)
             ),
         ),
         interpret=interpret,
