@@ -432,11 +432,14 @@ def tinyvit_window_block_cells(
 
     nb, nwy, nwx = _pick_cells(b, nh, nw, ws, ws8, heads)
     nwin = nb * nwy * nwx
+    # same sweepable cap as the non-cells builder (SAM_TV_PACKCAP): the
+    # default 256 pins ws=14 stages at pack=1
+    packcap = int(os.environ.get("SAM_TV_PACKCAP", "256"))
     pack = 1
-    for cand in (4, 2):
+    for cand in (8, 4, 2):
         if (
             nwin % cand == 0
-            and cand * tp <= 256
+            and cand * tp <= packcap
             and heads * (cand * tp) ** 2 * 4 <= 3_500_000
         ):
             pack = cand
