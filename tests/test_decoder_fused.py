@@ -142,3 +142,23 @@ def test_fused_decoder_matches_reference_path(monkeypatch):
 # heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
 # quick loop with `pytest -m "not slow" tests/`
 pytestmark = pytest.mark.slow
+
+
+def test_window_crop_matches_vmap_slice():
+    """The pallas per-prompt window crop (gather-free, reads the i2t
+    output's native layout) equals vmap(dynamic_slice)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_sam_inference_tpu.ops.window_crop import window_crop
+
+    rng = np.random.default_rng(11)
+    n, gs, c, wg = 6, 16, 128, 5
+    grid = jnp.asarray(rng.normal(size=(n, gs, gs, c)), jnp.float32)
+    r0 = jnp.asarray(rng.integers(0, gs - wg + 1, n), jnp.int32)
+    c0 = jnp.asarray(rng.integers(0, gs - wg + 1, n), jnp.int32)
+    got = window_crop(grid, r0, c0, wg, interpret=True)
+    want = jax.vmap(
+        lambda g, r, cc: jax.lax.dynamic_slice(g, (r, cc, 0), (wg, wg, c))
+    )(grid, r0, c0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -436,9 +436,21 @@ def segment_stage(
         (flat_off[:, 1].astype(jnp.float32) * scale_to_grid).astype(jnp.int32) - 1,
         0, gs - wg,
     )
-    windows = jax.vmap(
-        lambda grid, r0, c0: jax.lax.dynamic_slice(grid, (r0, c0, 0), (wg, wg, grid.shape[-1]))
-    )(keys_grid, g_start_r, g_start_c)  # (B*K, wg, wg, C)
+    if jax.default_backend() != "cpu":
+        # vmap(dynamic_slice) lowers to a gather that anchors a
+        # batch-second-minor layout on keys_grid — a full relayout copy of
+        # the i2t custom-call output (3.26 ms/iter at bench shape, the
+        # r5a trace's largest copy). The pallas crop reads the native
+        # layout (ops/window_crop.py).
+        from ..ops.window_crop import window_crop
+
+        windows = window_crop(keys_grid, g_start_r, g_start_c, wg)
+    else:
+        windows = jax.vmap(
+            lambda grid, r0, c0: jax.lax.dynamic_slice(
+                grid, (r0, c0, 0), (wg, wg, grid.shape[-1])
+            )
+        )(keys_grid, g_start_r, g_start_c)  # (B*K, wg, wg, C)
     logits_win = sam_mask_head(sam_params, windows, hyper1)[:, 0]  # (B*K, 4wg, 4wg)
 
     # crop-sample at original resolution, with coords relative to the window
