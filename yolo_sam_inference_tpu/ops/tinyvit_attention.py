@@ -202,12 +202,13 @@ def tinyvit_window_block(
     # per-head dots, the same fill/drain starvation the r5 flash ablations
     # measured on config 1.
     packcap = int(os.environ.get("SAM_TV_PACKCAP", "256"))
+    biascap = int(os.environ.get("SAM_TV_BIASCAP", "3500000"))
     pack = 1
-    for cand in (8, 4, 2):
+    for cand in (10, 8, 6, 5, 4, 3, 2):  # nwin is 10 or 3 at 512^2 shapes
         if (
             nwin % cand == 0
             and cand * tp <= packcap
-            and heads * (cand * tp) ** 2 * 4 <= 3_500_000
+            and heads * (cand * tp) ** 2 * 4 <= biascap
         ):
             pack = cand
             break
@@ -242,6 +243,11 @@ def tinyvit_window_block(
         out_shape=jax.ShapeDtypeStruct((n, tp, c), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=(
+                int(os.environ["SAM_TV_VMEM"])
+                if os.environ.get("SAM_TV_VMEM")
+                else None
+            ),
         ),
         interpret=interpret,
     )(
@@ -435,12 +441,13 @@ def tinyvit_window_block_cells(
     # same sweepable cap as the non-cells builder (SAM_TV_PACKCAP): the
     # default 256 pins ws=14 stages at pack=1
     packcap = int(os.environ.get("SAM_TV_PACKCAP", "256"))
+    biascap = int(os.environ.get("SAM_TV_BIASCAP", "3500000"))
     pack = 1
-    for cand in (8, 4, 2):
+    for cand in (10, 8, 6, 5, 4, 3, 2):  # nwin is 10 or 3 at 512^2 shapes
         if (
             nwin % cand == 0
             and cand * tp <= packcap
-            and heads * (cand * tp) ** 2 * 4 <= 3_500_000
+            and heads * (cand * tp) ** 2 * 4 <= biascap
         ):
             pack = cand
             break
@@ -485,6 +492,11 @@ def tinyvit_window_block_cells(
         out_shape=jax.ShapeDtypeStruct((b, hp, nw * ws8, c), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=(
+                int(os.environ["SAM_TV_VMEM"])
+                if os.environ.get("SAM_TV_VMEM")
+                else None
+            ),
         ),
         interpret=interpret,
     )(
