@@ -29,9 +29,10 @@ def _crop_kernel(r0_ref, c0_ref, g_ref, o_ref, *, wg: int):
     i = pl.program_id(0)
     r0 = r0_ref[i]
     c0 = c0_ref[i]
-    o_ref[0] = jax.lax.dynamic_slice(
-        g_ref[0], (r0, c0, 0), (wg, wg, g_ref.shape[-1])
-    )
+    # ref-level dynamic indexing (pl.ds): Mosaic has no lowering for the
+    # jax.lax.dynamic_slice primitive on VALUES, but dynamic ref slices on
+    # non-lane dims are supported
+    o_ref[0] = g_ref[0, pl.ds(r0, wg), pl.ds(c0, wg), :]
 
 
 @functools.partial(jax.jit, static_argnames=("wg", "interpret"))
