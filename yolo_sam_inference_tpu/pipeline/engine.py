@@ -436,12 +436,15 @@ def segment_stage(
         (flat_off[:, 1].astype(jnp.float32) * scale_to_grid).astype(jnp.int32) - 1,
         0, gs - wg,
     )
-    if jax.default_backend() != "cpu":
+    if jax.default_backend() != "cpu" and os.environ.get(
+        "SAM_WINDOW_CROP", "0"
+    ) == "1":
         # vmap(dynamic_slice) lowers to a gather that anchors a
         # batch-second-minor layout on keys_grid — a full relayout copy of
         # the i2t custom-call output (3.26 ms/iter at bench shape, the
         # r5a trace's largest copy). The pallas crop reads the native
-        # layout (ops/window_crop.py).
+        # layout (ops/window_crop.py). SAM_WINDOW_CROP=0 reverts to the
+        # gather path.
         from ..ops.window_crop import window_crop
 
         windows = window_crop(keys_grid, g_start_r, g_start_c, wg)
