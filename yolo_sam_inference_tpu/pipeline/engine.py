@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 import time
 import uuid
 from dataclasses import dataclass
