@@ -29,10 +29,14 @@ def _crop_kernel(r0_ref, c0_ref, g_ref, o_ref, *, wg: int):
     i = pl.program_id(0)
     r0 = r0_ref[i]
     c0 = c0_ref[i]
-    # ref-level dynamic indexing (pl.ds): Mosaic has no lowering for the
-    # jax.lax.dynamic_slice primitive on VALUES, but dynamic ref slices on
-    # non-lane dims are supported
-    o_ref[0] = g_ref[0, pl.ds(r0, wg), pl.ds(c0, wg), :]
+    gs = g_ref.shape[2]
+    # dynamic ref slicing is fine on the third-minor (row) dim, but Mosaic
+    # requires dynamic SUBLANE (column) starts to be provably 8-aligned —
+    # so columns crop via a dynamic circular roll (tpu rotate) that brings
+    # column c0 to 0, followed by a static slice
+    rows = g_ref[0, pl.ds(r0, wg), :, :]  # (wg, gs, C)
+    rolled = pltpu.roll(rows, shift=gs - c0, axis=1)
+    o_ref[0] = rolled[:, :wg, :]
 
 
 @functools.partial(jax.jit, static_argnames=("wg", "interpret"))
