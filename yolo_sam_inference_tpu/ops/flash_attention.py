@@ -779,10 +779,13 @@ def flash_attention_grid(
             # default tiles (global bqy=16, merged windows) need ~23 MB.
             # 64 MB default for the measured c<1024 configs; SAM_FLASH_VMEM
             # overrides either way.
+            # 64 MB for every config: v5e executes the 22.5M bqy=16 tiles
+            # fine under this budget, and ViT-H's global layer sits 1.2M
+            # over the 16M default with the clamp softmax's liveness
             vmem_limit_bytes=(
                 int(os.environ["SAM_FLASH_VMEM"])
                 if os.environ.get("SAM_FLASH_VMEM")
-                else (64 * 1024 * 1024 if c < 1024 else None)
+                else 64 * 1024 * 1024
             ),
         ),
         interpret=interpret,
