@@ -35,8 +35,11 @@ def _crop_kernel(r0_ref, c0_ref, g_ref, o_ref, *, wg: int):
     # so columns crop via a dynamic circular roll (tpu rotate) that brings
     # column c0 to 0, followed by a static slice
     rows = g_ref[0, pl.ds(r0, wg), :, :]  # (wg, gs, C)
-    rolled = pltpu.roll(rows, shift=gs - c0, axis=1)
-    o_ref[0] = rolled[:, :wg, :]
+    # Mosaic's dynamic rotate is 32-bit-only; bf16 -> f32 -> bf16 is exact
+    # and the round-trip stays in VMEM/registers
+    r32 = rows.astype(jnp.float32)
+    rolled = pltpu.roll(r32, shift=gs - c0, axis=1)
+    o_ref[0] = rolled[:, :wg, :].astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("wg", "interpret"))
