@@ -438,14 +438,14 @@ def segment_stage(
         0, gs - wg,
     )
     if jax.default_backend() != "cpu" and os.environ.get(
-        "SAM_WINDOW_CROP", "0"
+        "SAM_WINDOW_CROP", "1"
     ) == "1":
         # vmap(dynamic_slice) lowers to a gather that anchors a
         # batch-second-minor layout on keys_grid — a full relayout copy of
         # the i2t custom-call output (3.26 ms/iter at bench shape, the
         # r5a trace's largest copy). The pallas crop reads the native
-        # layout (ops/window_crop.py). SAM_WINDOW_CROP=0 reverts to the
-        # gather path.
+        # layout (ops/window_crop.py; device-proven r5s c2 leg).
+        # SAM_WINDOW_CROP=0 reverts to the gather path.
         from ..ops.window_crop import window_crop
 
         windows = window_crop(keys_grid, g_start_r, g_start_c, wg)
