@@ -645,9 +645,13 @@ def _ln_matmul_kernel(x_ref, s_ref, b_ref, w_ref, wb_ref, o_ref, *, eps: float):
 def fused_ln_matmul(
     x, scale, bias, w, b,
     eps: float = 1e-6,
-    block_rows: int = 256,
+    block_rows: Optional[int] = None,
     interpret: bool = False,
 ):
+    if block_rows is None:
+        # default never swept before r5; SAM_LNMM_BR sweeps it in the
+        # chained harness (tools/chain_bench.py)
+        block_rows = int(os.environ.get("SAM_LNMM_BR", "256"))
     """``LayerNorm(x) @ W + b`` fused — used for the encoder's LN1 + qkv
     projection (the LN output never round-trips HBM). W stays VMEM-resident;
     at ViT-H qkv size (1280x3840 bf16 = 9.8 MB) it still fits."""
