@@ -649,9 +649,11 @@ def fused_ln_matmul(
     interpret: bool = False,
 ):
     if block_rows is None:
-        # default never swept before r5; SAM_LNMM_BR sweeps it in the
-        # chained harness (tools/chain_bench.py)
-        block_rows = int(os.environ.get("SAM_LNMM_BR", "256"))
+        # r5 chained sweep (tools/chain_bench.py): 512 rows = 2.622 ms/call
+        # at ViT-B bench shape vs 2.702 at the old 256 (97% of the FLOP
+        # floor); 128 worse (2.821), 1024 exceeds the 16M scoped vmem.
+        # SAM_LNMM_BR overrides for A/B.
+        block_rows = int(os.environ.get("SAM_LNMM_BR", "512"))
     """``LayerNorm(x) @ W + b`` fused — used for the encoder's LN1 + qkv
     projection (the LN output never round-trips HBM). W stays VMEM-resident;
     at ViT-H qkv size (1280x3840 bf16 = 9.8 MB) it still fits."""
