@@ -963,6 +963,14 @@ def _relpos_tables_kernel_big(
     f = jnp.concatenate(fs, axis=-1).reshape(s, s, heads * d2)
     g = jnp.concatenate(gs_, axis=-1).reshape(s, s, heads * d2)
 
+    if os.environ.get("SAM_RELPOS_ABL") == "noassm":
+        # measurement-only (wrong values): null the per-row slice assembly
+        # below to bound its share of the kernel's ~2.2x-over-BW-floor cost
+        o_ref[0] = jnp.concatenate(
+            [f[..., : heads * w], g[..., : heads * w]], axis=-1
+        ).astype(o_ref.dtype)
+        return
+
     def rows(fy, shift):
         return jnp.concatenate(
             [
