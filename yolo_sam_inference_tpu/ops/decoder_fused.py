@@ -98,37 +98,49 @@ def _i2t_one_prompt(
          o_ref, t2i_ref) = rest
     else:
         (o_ref,) = rest
+    abl = os.environ.get("SAM_I2T_ABL", "")  # measurement-only ablations
     keys = keys_ref[src]  # (T, C)
-    if qp is None:
+    if abl == "noqp":
+        qp = jnp.zeros((keys.shape[0], wq_ref.shape[1]), jnp.float32)
+    elif qp is None:
         qp = _i2t_query_proj(keys, pe_ref, wq_ref, bq_ref, scale)
-    logits = jax.lax.dot_general(
-        qp.astype(keys.dtype), kbd_ref[p],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T, H*tq)
-    rowmax = jnp.max(logits, axis=1, keepdims=True)
-    e = jnp.exp(logits - rowmax)  # fp32: far-below-max groups stay finite
-    gsum = jax.lax.dot_general(
-        e, g_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T, H) per-head sums
-    rden = jax.lax.dot_general(
-        1.0 / gsum, g_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T, H*tq) broadcast back
-    p_ = (e * rden).astype(keys.dtype)
-    attn = jax.lax.dot_general(
-        p_, vbd_ref[p], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(keys.dtype)  # (T, dh)
-    out = (
-        jax.lax.dot_general(
-            attn, wout_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+    if abl == "nosmall":
+        attn = qp[:, : vbd_ref.shape[2]].astype(keys.dtype)
+    else:
+        logits = jax.lax.dot_general(
+            qp.astype(keys.dtype), kbd_ref[p],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        + bout_ref[...]
-    )  # (T, C) fp32
+        )  # (T, H*tq)
+        rowmax = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(logits - rowmax)  # fp32: below-max groups stay finite
+        gsum = jax.lax.dot_general(
+            e, g_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, H) per-head sums
+        rden = jax.lax.dot_general(
+            1.0 / gsum, g_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, H*tq) broadcast back
+        p_ = (e * rden).astype(keys.dtype)
+        attn = jax.lax.dot_general(
+            p_, vbd_ref[p], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(keys.dtype)  # (T, dh)
+    if abl == "noout":
+        out = jnp.broadcast_to(
+            bout_ref[...], (keys.shape[0], bout_ref.shape[1])
+        ) + attn[:, :1].astype(jnp.float32)
+    else:
+        out = (
+            jax.lax.dot_general(
+                attn, wout_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bout_ref[...]
+        )  # (T, C) fp32
     y = keys.astype(jnp.float32) + out
     mean = jnp.mean(y, axis=1, keepdims=True)
     d = y - mean
