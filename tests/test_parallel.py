@@ -523,3 +523,17 @@ def test_encoder_parallel_validation(_tiny_setup):
                                     options=bad, seed=0)  # no mesh
     with pytest.raises(ValueError, match="mesh with a 'tp' axis"):
         pipe._stages(64, 64)
+
+
+def test_make_encoder_parallel_mesh():
+    """CLI mesh helper: axis naming, device-count handling, clear errors."""
+    from yolo_sam_inference_tpu.parallel.mesh import make_encoder_parallel_mesh
+
+    m = make_encoder_parallel_mesh("tp", 4)
+    assert m.axis_names == ("dp", "tp") and m.shape["tp"] == 4
+    m2 = make_encoder_parallel_mesh("sp", 0)  # 0 = all visible (8 virtual)
+    assert m2.axis_names == ("dp", "sp") and m2.shape["sp"] == 8
+    with pytest.raises(ValueError, match="visible devices"):
+        make_encoder_parallel_mesh("tp", 99)
+    with pytest.raises(ValueError, match="tp|sp"):
+        make_encoder_parallel_mesh("bogus", 2)
