@@ -194,14 +194,15 @@ def test_flash_grid_combined_qkv_read_matches_default(monkeypatch):
     np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
 
 
-def test_flash_grid_wpair_matches_oracle(monkeypatch):
+@pytest.mark.parametrize("s,window", [(8, 4), (16, 4)])  # wps = 2 and 4
+def test_flash_grid_wpair_matches_oracle(monkeypatch, s, window):
     """SAM_FLASH_WPAIR=1 (wps windows merged into one contraction with
-    +-sqrt(M) window-indicator lanes) matches the window oracle. The M
-    shift costs ~13 bits of fp32 logit precision — tolerance reflects it."""
+    +-sqrt(M) window-indicator lanes) matches the window oracle at both
+    merge widths the selector can pick."""
     from yolo_sam_inference_tpu.ops import flash_attention as fa
 
     rng = np.random.default_rng(7)
-    b, s, heads, hd, window = 2, 8, 3, 16, 4  # nw=2 -> wps=2 on this shape
+    b, heads, hd = 2, 3, 16
     c = heads * hd
     qkv = jnp.asarray(rng.normal(size=(b, s, s, 3 * c)), jnp.float32)
     rhw = jnp.asarray(rng.normal(size=(b, s, s, 2 * heads * window)) * 0.3,
