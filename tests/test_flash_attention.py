@@ -357,3 +357,25 @@ def test_relpos_tables_v2_matches_einsum(s, window, heads, hd):
 # heavy suite (torch parity / e2e pipeline / 8-device mesh): run the
 # quick loop with `pytest -m "not slow" tests/`
 pytestmark = pytest.mark.slow
+
+
+def test_relpos_v3_assembly_matches_default(monkeypatch):
+    """SAM_RELPOS_V3 (per-row-class assembly) is bit-equal to the per-row
+    slicing builder on the full-image path."""
+    from yolo_sam_inference_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(9)
+    b, s, heads, hd, window = 2, 8, 3, 16, 4
+    c = heads * hd
+    qkv = jnp.asarray(rng.normal(size=(b, s, s, 3 * c)), jnp.float32)
+    th = jnp.asarray(rng.normal(size=(2 * window - 1, hd)) * 0.1, jnp.float32)
+    tw = jnp.asarray(rng.normal(size=(2 * window - 1, hd)) * 0.1, jnp.float32)
+    monkeypatch.delenv("SAM_RELPOS_V3", raising=False)
+    base = np.asarray(fa.relpos_tables(
+        qkv, th, tw, heads=heads, window=window, interpret=True))
+    monkeypatch.setenv("SAM_RELPOS_V3", "1")
+    fa.relpos_tables.clear_cache()
+    got = np.asarray(fa.relpos_tables(
+        qkv, th, tw, heads=heads, window=window, interpret=True))
+    fa.relpos_tables.clear_cache()
+    np.testing.assert_allclose(got, base, rtol=1e-6, atol=1e-6)

@@ -971,6 +971,39 @@ def _relpos_tables_kernel_big(
         ).astype(o_ref.dtype)
         return
 
+    if os.environ.get("SAM_RELPOS_V3", "0") == "1":
+        # v3 assembly (A/B candidate for the r5 open-lead ledger: the
+        # noassm ablation bounds this assembly at ~0.35 ms/call): one
+        # lane-sliced candidate per ROW CLASS + a row-mask select — w*heads
+        # big ops instead of s*heads per-row slices. Copies w/2x more
+        # data in 2x fewer, 32x larger ops; wins iff per-op overhead
+        # dominates (the same trade every r5 kernel win made).
+        rowc = jax.lax.broadcasted_iota(
+            jnp.int32, (s, s, heads * w), 0
+        ) % w
+
+        def assemble(t):
+            outv = jnp.zeros((s, s, heads * w), jnp.float32)
+            for cidx in range(w):
+                shift = w - 1 - cidx
+                cand = jnp.concatenate(
+                    [
+                        jax.lax.slice(
+                            t, (0, 0, h * d2 + shift),
+                            (s, s, h * d2 + shift + w),
+                        )
+                        for h in range(heads)
+                    ],
+                    axis=-1,
+                )
+                outv = jnp.where(rowc == cidx, cand, outv)
+            return outv
+
+        rh = assemble(f)
+        rw = assemble(g).transpose(1, 0, 2)
+        o_ref[0] = jnp.concatenate([rh, rw], axis=-1).astype(o_ref.dtype)
+        return
+
     def rows(fy, shift):
         return jnp.concatenate(
             [
